@@ -1,0 +1,163 @@
+"""Ray generation and sampling (pure JAX, static shapes).
+
+Device-side replacements for the reference's numpy/torch ray ops
+(utils/ray_utils.py:13-233):
+
+- `pixels_to_rays`: unproject pixel coords through intrinsics + c2w. The
+  reference shoots rays per-pixel on CPU inside DataLoader workers
+  (ray_utils.py:23-29); here it's a vmappable device op so whole-image ray
+  grids and sampled batches are generated on-chip.
+- `ray_to_samples`: stratified sampling between near/far with the clipped
+  perturbation (PERTURB_EPSILON) — ref ray_utils.py:96-135.
+- `sample_pdf` / `ray_to_importance_samples`: CDF-inversion hierarchical
+  sampling — ref ray_utils.py:138-194.
+- `geometry_guided_near_far`: ray-sphere near/far against SMPL vertices,
+  reformulated with matmuls so the [R, V] interaction rides the MXU —
+  ref ray_utils.py:197-233.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from neuman_tpu.utils.constants import PERTURB_EPSILON
+
+
+def to_homogeneous(pts):
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def pixels_to_rays(xy, intrinsic, cam2world):
+    """Rays through pixel coords.
+
+    xy: [N, 2] pixel coordinates (x, y); intrinsic: [3, 3]; cam2world: [4, 4].
+    Returns (origins [N, 3], dirs [N, 3] unit-norm).
+    """
+    ones = jnp.ones_like(xy[..., :1])
+    pix = jnp.concatenate([xy, ones], axis=-1)  # [N, 3]
+    cam_pts = pix @ jnp.linalg.inv(intrinsic).T  # z=1 plane in camera space
+    world_pts = to_homogeneous(cam_pts) @ cam2world.T
+    origin = cam2world[:3, 3]
+    dirs = world_pts[..., :3] - origin
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(origin, dirs.shape)
+    return origins, dirs
+
+
+def image_coords(h, w):
+    """All pixel (x, y) coords of an HxW image, row-major (matches
+    np.argwhere(ones)[:, ::-1] ordering used by the reference renderers)."""
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(jnp.float32)
+
+
+def ray_to_samples(
+    origin, direction, near, far, samples_per_ray, key=None, perturb=0.0,
+    lindisp=False, append_t=None,
+):
+    """Stratified samples along rays.
+
+    origin/direction: [R, 3]; near/far: [R, 1] (or [R]).
+    Returns (pts [R, S, 3(+1)], dirs [R, S, 3], z_vals [R, S]).
+    """
+    near = near.reshape(-1, 1)
+    far = far.reshape(-1, 1)
+    t_vals = jnp.linspace(0.0, 1.0, samples_per_ray)
+    if not lindisp:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+
+    if perturb > 0.0:
+        assert key is not None
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jnp.clip(
+            jax.random.uniform(key, z_vals.shape),
+            PERTURB_EPSILON,
+            1 - PERTURB_EPSILON,
+        )
+        z_vals = lower + (upper - lower) * t_rand
+
+    pts = origin[..., None, :] + direction[..., None, :] * z_vals[..., :, None]
+    dirs = jnp.broadcast_to(direction[:, None, :], pts.shape[:2] + (3,))
+    if append_t is not None:
+        pts = jnp.concatenate([pts, append_t], axis=-1)
+    return pts, dirs, z_vals
+
+
+def sample_pdf(bins, weights, n_samples, key=None, det=False):
+    """Inverse-CDF sampling (ref: ray_utils.py:164-194).
+
+    bins: [R, B]; weights: [R, B-1]. Returns z samples [R, n_samples].
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B]
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def ray_to_importance_samples(
+    origin, direction, z_vals, weights, importance_samples_per_ray, key=None,
+    det=True, including_old=True, append_t=None,
+):
+    """Merge coarse z with importance samples, sorted along the ray
+    (ref: ray_utils.py:138-160)."""
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(
+        z_mid, weights[..., 1:-1], importance_samples_per_ray, key=key, det=det
+    )
+    z_samples = jax.lax.stop_gradient(z_samples)
+    if including_old:
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    else:
+        z_all = z_samples
+    pts = origin[..., None, :] + direction[..., None, :] * z_all[..., :, None]
+    dirs = jnp.broadcast_to(direction[:, None, :], pts.shape[:2] + (3,))
+    if append_t is not None:
+        pts = jnp.concatenate([pts, append_t], axis=-1)
+    return pts, dirs, z_all
+
+
+def geometry_guided_near_far(origin, direction, verts, geo_threshold):
+    """Per-ray near/far from ray-sphere tests against body vertices.
+
+    origin/direction: [R, 3]; verts: [V, 3]. Rays that miss every
+    vertex-sphere get near=+inf, far=-inf (near >= far <=> miss), matching
+    ref ray_utils.py:204-219. The [R, V] interaction is expressed with
+    matmuls (MXU) instead of materializing [R, V, 3] intermediates.
+    """
+    # z0[r, v] = dot(verts[v] - origin[r], dir[r]) = dir@verts.T - rowdot
+    dv = direction @ verts.T  # [R, V]
+    od = jnp.sum(direction * origin, axis=-1, keepdims=True)  # [R, 1]
+    z0 = dv - od
+    # |v - o|^2 = |v|^2 - 2 o.v + |o|^2
+    v2 = jnp.sum(verts * verts, axis=-1)[None, :]  # [1, V]
+    ov = origin @ verts.T  # [R, V]
+    o2 = jnp.sum(origin * origin, axis=-1, keepdims=True)  # [R, 1]
+    dist2 = v2 - 2.0 * ov + o2
+    dz = jnp.sqrt(geo_threshold**2 - (dist2 - z0**2))  # NaN where miss
+    near = jnp.where(jnp.isnan(dz), jnp.inf, z0 - dz).min(axis=1)
+    far = jnp.where(jnp.isnan(dz), -jnp.inf, z0 + dz).max(axis=1)
+    return near, far

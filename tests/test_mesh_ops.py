@@ -1,0 +1,247 @@
+"""Mesh-query tests: closest point, signed distance, barycentric warp.
+
+Oracles: brute-force numpy implementations and analytically known shapes
+(unit cube, icosphere-like meshes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neuman_tpu.ops import mesh as mesh_ops
+
+
+def make_cube():
+    """Unit cube centered at origin, 12 triangles, outward normals."""
+    v = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        dtype=np.float32,
+    ) * 0.5
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],  # bottom (z=-.5), outward -z
+            [4, 5, 6], [4, 6, 7],  # top (+z)
+            [0, 1, 5], [0, 5, 4],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 4, 7], [0, 7, 3],  # -x
+            [1, 2, 6], [1, 6, 5],  # +x
+        ],
+        dtype=np.int32,
+    )
+    return v, f
+
+
+def brute_closest_numpy(points, verts, faces):
+    """Reference oracle: exact closest point via per-face computation."""
+    tri = verts[faces]  # [F, 3, 3]
+    best_d2 = np.full(len(points), np.inf)
+    best_f = np.zeros(len(points), dtype=np.int64)
+    best_p = np.zeros((len(points), 3))
+    for fi in range(len(faces)):
+        a, b, c = tri[fi]
+        cp = np.asarray(
+            mesh_ops.closest_point_on_triangles(
+                jnp.asarray(points), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+            )
+        )
+        d2 = ((cp - points) ** 2).sum(axis=1)
+        upd = d2 < best_d2
+        best_d2[upd] = d2[upd]
+        best_f[upd] = fi
+        best_p[upd] = cp[upd]
+    return best_d2, best_f, best_p
+
+
+def test_closest_point_on_triangle_regions():
+    a = jnp.array([0.0, 0.0, 0.0])
+    b = jnp.array([1.0, 0.0, 0.0])
+    c = jnp.array([0.0, 1.0, 0.0])
+    # interior projection
+    p = jnp.array([0.25, 0.25, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.closest_point_on_triangles(p, a, b, c)),
+        [0.25, 0.25, 0.0],
+        atol=1e-6,
+    )
+    # vertex region
+    p = jnp.array([-1.0, -1.0, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.closest_point_on_triangles(p, a, b, c)), [0, 0, 0], atol=1e-6
+    )
+    # edge ab region
+    p = jnp.array([0.5, -2.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.closest_point_on_triangles(p, a, b, c)), [0.5, 0, 0], atol=1e-6
+    )
+    # edge bc region
+    p = jnp.array([1.0, 1.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.closest_point_on_triangles(p, a, b, c)), [0.5, 0.5, 0], atol=1e-6
+    )
+
+
+def test_point_mesh_closest_cube_analytic():
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    pts = jnp.array([[0.0, 0.0, 2.0], [2.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    d2, f_id, cp = mesh_ops.point_mesh_closest(pts, jnp.asarray(v), topo, method="brute")
+    d = np.sqrt(np.asarray(d2))
+    np.testing.assert_allclose(d[0], 1.5, atol=1e-5)
+    np.testing.assert_allclose(d[1], 1.5, atol=1e-5)
+    np.testing.assert_allclose(d[2], 0.5, atol=1e-5)  # center -> face
+    np.testing.assert_allclose(np.asarray(cp[0]), [0, 0, 0.5], atol=1e-5)
+
+
+def test_knn_matches_brute_on_random_mesh():
+    rng = np.random.default_rng(0)
+    # a random blobby mesh: perturbed sphere triangulation via convex hull
+    from scipy.spatial import ConvexHull
+
+    dirs = rng.normal(size=(80, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    verts = (dirs * (1 + 0.2 * rng.uniform(size=(80, 1)))).astype(np.float32)
+    hull = ConvexHull(verts)
+    faces = hull.simplices.astype(np.int32)
+    topo = mesh_ops.MeshTopology.build(faces, len(verts))
+
+    points = rng.normal(size=(200, 3)).astype(np.float32) * 1.5
+    d2_b, f_b, cp_b = mesh_ops.point_mesh_closest(
+        jnp.asarray(points), jnp.asarray(verts), topo, method="brute"
+    )
+    d2_k, f_k, cp_k = mesh_ops.point_mesh_closest(
+        jnp.asarray(points), jnp.asarray(verts), topo, method="knn", k=8
+    )
+    np.testing.assert_allclose(np.asarray(d2_k), np.asarray(d2_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp_k), np.asarray(cp_b), atol=1e-4)
+
+    # and against the numpy oracle
+    d2_o, _, _ = brute_closest_numpy(points, verts, faces)
+    np.testing.assert_allclose(np.asarray(d2_b), d2_o, atol=1e-5)
+
+
+def test_signed_distance_cube():
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    pts = jnp.array(
+        [
+            [0.0, 0.0, 0.0],  # inside center
+            [0.3, 0.3, 0.3],  # inside corner-ish
+            [0.0, 0.0, 1.0],  # outside above
+            [1.0, 1.0, 1.0],  # outside corner
+        ]
+    )
+    sd, _, _ = mesh_ops.signed_distance(pts, jnp.asarray(v), topo, method="brute")
+    sd = np.asarray(sd)
+    assert sd[0] < 0 and np.isclose(abs(sd[0]), 0.5, atol=1e-5)
+    assert sd[1] < 0
+    assert sd[2] > 0 and np.isclose(sd[2], 0.5, atol=1e-5)
+    assert sd[3] > 0 and np.isclose(sd[3], np.sqrt(3 * 0.25), atol=1e-5)
+
+
+def test_barycentric_coordinates():
+    tri = jnp.array([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+    # vertex order in weights: [u(v0), v(v1), w(v2)]
+    p = jnp.array([[0.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.barycentric_coordinates(p, tri))[0], [1, 0, 0], atol=1e-6
+    )
+    p = jnp.array([[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.barycentric_coordinates(p, tri))[0], [0, 1, 0], atol=1e-6
+    )
+    p = jnp.array([[1 / 3, 1 / 3, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(mesh_ops.barycentric_coordinates(p, tri))[0],
+        [1 / 3, 1 / 3, 1 / 3],
+        atol=1e-6,
+    )
+    # reconstruction property for arbitrary points in the plane
+    rng = np.random.default_rng(0)
+    pts = np.zeros((10, 3))
+    pts[:, :2] = rng.uniform(0, 0.5, size=(10, 2))
+    bary = np.asarray(mesh_ops.barycentric_coordinates(jnp.asarray(pts), jnp.tile(tri, (10, 1, 1))))
+    recon = np.einsum("nc,ncd->nd", bary, np.tile(np.asarray(tri), (10, 1, 1)))
+    np.testing.assert_allclose(recon, pts, atol=1e-5)
+
+
+def test_warp_identity_transforms():
+    """With identity per-vertex transforms the warp is a no-op."""
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    T = jnp.tile(jnp.eye(4)[None], (len(v), 1, 1))
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(-0.4, 0.4, size=(4, 6, 3)).astype(np.float32)
+    )
+    can_pts, can_dirs, closest = mesh_ops.warp_samples_to_canonical(
+        pts, jnp.asarray(v), T, topo, method="brute"
+    )
+    np.testing.assert_allclose(np.asarray(can_pts), np.asarray(pts), atol=1e-5)
+    assert np.allclose(np.linalg.norm(np.asarray(can_dirs), axis=-1), 1.0, atol=1e-5)
+
+
+def test_warp_rigid_transform_inverts():
+    """If all vertex transforms are a rigid motion M, warp applies M^-1."""
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    from neuman_tpu.geometry import transforms
+
+    m = transforms.rotation_matrix(0.7, [0, 0, 1]) @ transforms.translation_matrix(
+        [0.2, -0.1, 0.3]
+    )
+    # posed verts = M @ rest verts; T per vertex = M
+    v_posed = (np.asarray(v) @ m[:3, :3].T) + m[:3, 3]
+    T = jnp.tile(jnp.asarray(m, dtype=jnp.float32)[None], (len(v), 1, 1))
+    pts_obs = jnp.asarray(v_posed[None, :5] * 0.9, dtype=jnp.float32)  # near surface
+    can_pts, _, _ = mesh_ops.warp_samples_to_canonical(
+        pts_obs, jnp.asarray(v_posed, dtype=jnp.float32), T, topo, method="brute"
+    )
+    minv = np.linalg.inv(m)
+    expected = np.asarray(pts_obs[0]) @ minv[:3, :3].T + minv[:3, 3]
+    np.testing.assert_allclose(np.asarray(can_pts[0]), expected, atol=1e-4)
+
+
+def test_warp_diff_gradients_flow_to_verts():
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    T = jnp.tile(jnp.eye(4)[None], (len(v), 1, 1))
+    pts = jnp.asarray([[0.2, 0.1, 0.6]], dtype=jnp.float32)
+
+    def loss(verts):
+        t_inv, f_id, sd = mesh_ops.warp_samples_to_canonical_diff(
+            pts, verts, T, topo, method="brute"
+        )
+        return jnp.sum(t_inv[:, :3, 3] ** 2) + jnp.sum(sd)
+
+    g = jax.grad(loss)(jnp.asarray(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_signed_distance_knn_matches_brute():
+    rng = np.random.default_rng(2)
+    from scipy.spatial import ConvexHull
+
+    dirs = rng.normal(size=(60, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    verts = dirs.astype(np.float32)
+    hull = ConvexHull(verts)
+    faces = hull.simplices.astype(np.int32)
+    # Fix winding to outward (ConvexHull does not guarantee orientation)
+    tri = verts[faces]
+    centroids = tri.mean(axis=1)
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    flip = (normals * centroids).sum(axis=1) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    topo = mesh_ops.MeshTopology.build(faces, len(verts))
+
+    points = rng.normal(size=(100, 3)).astype(np.float32)
+    sd_b, _, _ = mesh_ops.signed_distance(jnp.asarray(points), jnp.asarray(verts), topo, method="brute")
+    sd_k, _, _ = mesh_ops.signed_distance(jnp.asarray(points), jnp.asarray(verts), topo, method="knn", k=8)
+    np.testing.assert_allclose(np.asarray(sd_k), np.asarray(sd_b), atol=1e-4)
+    # unit sphere-ish: points with |p| < 1 are inside
+    inside = np.linalg.norm(points, axis=1) < 0.8
+    assert (np.asarray(sd_b)[inside] < 0).all()
+    outside = np.linalg.norm(points, axis=1) > 1.2
+    assert (np.asarray(sd_b)[outside] > 0).all()
