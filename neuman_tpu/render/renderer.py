@@ -1,0 +1,411 @@
+"""Full-image renderers (jit-compiled, static shapes).
+
+TPU-first reformulation of the reference renderers
+(utils/render_utils.py:108-461):
+
+- Ray grids are generated on device (`ops.rays.pixels_to_rays`), not by CPU
+  loops; images render in fixed-size ray chunks through top-level jitted
+  chunk functions (compiled once per shape, cached across frames).
+- The reference's boolean-mask control flow (hit/miss rays short-circuiting,
+  render_utils.py:199-233, 300-353) becomes static-shape `where` masking:
+  every ray evaluates the human branch, misses get dummy far-z samples with
+  zero density — the generalization of the reference's own multi-person
+  trick (render_utils.py:417-419) applied everywhere.
+- The canonical warp runs on device through ops.mesh (no igl CPU round
+  trips).
+
+Entry points mirror the reference API: render_vanilla, render_smpl_nerf,
+render_hybrid_nerf, render_hybrid_nerf_multi_persons.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neuman_tpu.models import human_nerf as hn
+from neuman_tpu.models import nerf as nerf_module
+from neuman_tpu.ops import mesh as mesh_ops
+from neuman_tpu.ops import rays as ray_ops
+from neuman_tpu.ops import volume
+from neuman_tpu.utils.constants import DEFAULT_GEO_THRESH
+
+# fraction of VMEM-friendly rays per compiled chunk; callers can override
+
+
+def _cap_rays(cap):
+    h, w = cap.shape
+    coords = ray_ops.image_coords(h, w)
+    origins, dirs = ray_ops.pixels_to_rays(
+        coords,
+        jnp.asarray(cap.intrinsic_matrix, dtype=jnp.float32),
+        jnp.asarray(cap.cam_pose.camera_to_world, dtype=jnp.float32),
+    )
+    return origins, dirs
+
+
+def _chunked(fn, arrays, total, chunk):
+    """Apply jitted `fn` over fixed-size chunks (last chunk zero-padded)."""
+    outs = []
+    for i in range(0, total, chunk):
+        sl = []
+        for a in arrays:
+            piece = a[i : i + chunk]
+            if piece.shape[0] < chunk:
+                pad = chunk - piece.shape[0]
+                piece = jnp.concatenate(
+                    [piece, jnp.repeat(piece[-1:], pad, axis=0)], axis=0
+                )
+            sl.append(piece)
+        outs.append(fn(*sl))
+    return [
+        jnp.concatenate([o[j] for o in outs], axis=0)[:total]
+        for j in range(len(outs[0]))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# vanilla background renderer (ref: render_utils.py:108-161)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "use_fine", "use_time",
+    ),
+)
+def _vanilla_chunk(
+    spec, coarse_params, fine_params, origins, dirs, near, far, time_val,
+    samples_per_ray, importance_samples_per_ray, white_bkg, use_fine, use_time,
+):
+    r = origins.shape[0]
+    t_c = (
+        jnp.full((r, samples_per_ray, 1), time_val) if use_time else None
+    )
+    pts, sdirs, z_vals = ray_ops.ray_to_samples(
+        origins, dirs, near, far, samples_per_ray, append_t=t_c
+    )
+    out = nerf_module.apply_joiner(spec, coarse_params, pts, sdirs)
+    rgb, disp, acc, weights, depth = volume.raw2outputs(
+        out, z_vals, sdirs[:, 0, :], white_bkg=white_bkg
+    )
+    if use_fine:
+        t_f = (
+            jnp.full((r, samples_per_ray + importance_samples_per_ray, 1), time_val)
+            if use_time
+            else None
+        )
+        pts, sdirs, z_vals = ray_ops.ray_to_importance_samples(
+            origins, dirs, z_vals, weights, importance_samples_per_ray,
+            det=True, append_t=t_f,
+        )
+        out = nerf_module.apply_joiner(spec, fine_params, pts, sdirs)
+        rgb, disp, acc, weights, depth = volume.raw2outputs(
+            out, z_vals, sdirs[:, 0, :], white_bkg=white_bkg
+        )
+    return rgb, depth
+
+
+def render_vanilla(
+    spec, coarse_params, cap, fine_params=None, rays_per_batch=32768,
+    samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
+    near_far_source="bkg", return_depth=False, ablate_nerft=False,
+):
+    origins, dirs = _cap_rays(cap)
+    total = origins.shape[0]
+    near = jnp.full((rays_per_batch, 1), cap.near[near_far_source], jnp.float32)
+    far = jnp.full((rays_per_batch, 1), cap.far[near_far_source], jnp.float32)
+    time_val = (
+        cap.frame_id["frame_id"] / cap.frame_id["total_frames"]
+        if ablate_nerft
+        else 0.0
+    )
+    fn = lambda o, d: _vanilla_chunk(
+        spec, coarse_params,
+        fine_params if fine_params is not None else coarse_params,
+        o, d, near, far, time_val,
+        samples_per_ray=samples_per_ray,
+        importance_samples_per_ray=importance_samples_per_ray,
+        white_bkg=white_bkg, use_fine=fine_params is not None,
+        use_time=ablate_nerft,
+    )
+    rgb, depth = _chunked(fn, [origins, dirs], total, rays_per_batch)
+    rgb = np.asarray(rgb).reshape(*cap.shape, -1)
+    depth = np.asarray(depth).reshape(*cap.shape)
+    if return_depth:
+        return rgb, depth
+    return rgb
+
+
+# ---------------------------------------------------------------------------
+# human-only renderer (ref: render_utils.py:164-246)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "white_bkg", "render_can", "knn_k",
+    ),
+)
+def _smpl_chunk(
+    spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
+    interval_comp, samples_per_ray, white_bkg, render_can, knn_k,
+):
+    near, far = ray_ops.geometry_guided_near_far(
+        origins, dirs, posed_verts, geo_threshold
+    )
+    hit = near < far
+    s_near = jnp.where(hit, near, 0.0)[:, None]
+    s_far = jnp.where(hit, far, 1.0)[:, None]
+    pts, sdirs, z_vals = ray_ops.ray_to_samples(
+        origins, dirs, s_near, s_far, samples_per_ray
+    )
+    if render_can:
+        can_pts, can_dirs = pts, sdirs
+    else:
+        can_pts, can_dirs, _ = mesh_ops.warp_samples_to_canonical(
+            pts, posed_verts, Ts, topology, k=knn_k
+        )
+    out = hn.apply_coarse_human(spec, params, can_pts, can_dirs)
+    out = out.at[..., -1].mul(interval_comp)
+    rgb, _, acc, _, depth = volume.raw2outputs(
+        out, z_vals, sdirs[:, 0, :], white_bkg=white_bkg
+    )
+    miss_color = 1.0 if white_bkg else 0.0
+    rgb = jnp.where(hit[:, None], rgb, miss_color)
+    depth = jnp.where(hit, depth, 0.0)
+    acc = jnp.where(hit, acc, 0.0)
+    return rgb, depth, acc
+
+
+def render_smpl_nerf(
+    spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
+    samples_per_ray=64, white_bkg=True, render_can=False,
+    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
+    interval_comp=1.0, knn_k=8,
+):
+    topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
+                           faces=np.asarray(faces[:, :3], dtype=np.int32),
+                           num_verts=len(posed_verts))
+    origins, dirs = _cap_rays(cap)
+    total = origins.shape[0]
+    posed_verts = jnp.asarray(posed_verts, dtype=jnp.float32)
+    if Ts is None:
+        Ts = jnp.tile(jnp.eye(4)[None], (posed_verts.shape[0], 1, 1))
+    else:
+        Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
+    fn = lambda o, d: _smpl_chunk(
+        spec, params, topology, o, d, posed_verts, Ts,
+        jnp.float32(geo_threshold), jnp.float32(interval_comp),
+        samples_per_ray=samples_per_ray, white_bkg=white_bkg,
+        render_can=render_can, knn_k=knn_k,
+    )
+    rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
+    rgb = np.asarray(rgb).reshape(*cap.shape, -1)
+    depth = np.asarray(depth).reshape(*cap.shape)
+    acc = np.asarray(acc).reshape(*cap.shape)
+    if return_depth and return_mask:
+        return rgb, depth, acc
+    if return_depth:
+        return rgb, depth
+    if return_mask:
+        return rgb, acc
+    return rgb
+
+
+# ---------------------------------------------------------------------------
+# hybrid human + scene renderer (ref: render_utils.py:249-362)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray",
+        "white_bkg", "knn_k",
+    ),
+)
+def _hybrid_chunk(
+    spec, params, topology, origins, dirs, bkg_near, bkg_far, posed_verts, Ts,
+    geo_threshold, samples_per_ray, importance_samples_per_ray, white_bkg, knn_k,
+):
+    # background: coarse -> importance -> fine
+    bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_samples(
+        origins, dirs, bkg_near, bkg_far, samples_per_ray
+    )
+    bkg_out = hn.apply_coarse_bkg(spec, params, bkg_pts, bkg_dirs)
+    _, _, _, bkg_weights, _ = volume.raw2outputs(
+        bkg_out, bkg_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
+    )
+    bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_importance_samples(
+        origins, dirs, bkg_z, bkg_weights, importance_samples_per_ray, det=True
+    )
+    bkg_out = hn.apply_fine_bkg(spec, params, bkg_pts, bkg_dirs)
+
+    # human branch for all rays; misses become far dummy samples with zero
+    # density (generalized from ref render_utils.py:417-419)
+    near, far = ray_ops.geometry_guided_near_far(
+        origins, dirs, posed_verts, geo_threshold
+    )
+    hit = near < far
+    h_near = jnp.where(hit, near, 0.0)[:, None]
+    h_far = jnp.where(hit, far, 1.0)[:, None]
+    h_pts, h_dirs, h_z = ray_ops.ray_to_samples(
+        origins, dirs, h_near, h_far, samples_per_ray
+    )
+    can_pts, can_dirs, _ = mesh_ops.warp_samples_to_canonical(
+        h_pts, posed_verts, Ts, topology, k=knn_k
+    )
+    h_out = hn.apply_coarse_human(spec, params, can_pts, can_dirs)
+    # dummy z beyond the far plane + zero density for misses
+    dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * bkg_far[..., :1] * 2.0
+    h_z = jnp.where(hit[:, None], h_z, dummy_z)
+    h_out = jnp.where(hit[:, None, None], h_out, jnp.array([0.0, 0, 0, -1e9]))
+
+    total_z, total_out = volume.sort_and_merge_samples([bkg_z, h_z], [bkg_out, h_out])
+    merged_rgb, _, _, _, merged_depth = volume.raw2outputs(
+        total_out, total_z, h_dirs[:, 0, :], white_bkg=white_bkg
+    )
+    bkg_rgb, _, bkg_acc, _, bkg_depth = volume.raw2outputs(
+        bkg_out, bkg_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
+    )
+    h_rgb, _, h_acc, _, _ = volume.raw2outputs(
+        h_out, h_z, h_dirs[:, 0, :], white_bkg=white_bkg
+    )
+    rgb = jnp.where(hit[:, None], merged_rgb, bkg_rgb)
+    depth = jnp.where(hit, merged_depth, bkg_depth)
+    acc = jnp.where(hit, h_acc, 0.0)
+    return rgb, depth, acc
+
+
+def render_hybrid_nerf(
+    spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
+    samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
+    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
+):
+    topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
+                           faces=np.asarray(faces[:, :3], dtype=np.int32),
+                           num_verts=len(posed_verts))
+    origins, dirs = _cap_rays(cap)
+    total = origins.shape[0]
+    posed_verts = jnp.asarray(posed_verts, dtype=jnp.float32)
+    Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
+    bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
+    bkg_far = jnp.full((rays_per_batch, 1), cap.far["bkg"], jnp.float32)
+    fn = lambda o, d: _hybrid_chunk(
+        spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
+        jnp.float32(geo_threshold),
+        samples_per_ray=samples_per_ray,
+        importance_samples_per_ray=importance_samples_per_ray,
+        white_bkg=white_bkg, knn_k=knn_k,
+    )
+    rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
+    rgb = np.asarray(rgb).reshape(*cap.shape, -1)
+    depth = np.asarray(depth).reshape(*cap.shape)
+    if return_depth:
+        return rgb, depth
+    return rgb
+
+
+# ---------------------------------------------------------------------------
+# multi-actor composite (ref: render_utils.py:365-461)
+# ---------------------------------------------------------------------------
+
+
+def render_hybrid_nerf_multi_persons(
+    bkg_spec, bkg_params, cap, human_specs, human_params_list, posed_verts_list,
+    faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
+    importance_samples_per_ray=128, white_bkg=True,
+    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
+):
+    origins_all, dirs_all = _cap_rays(cap)
+    total = origins_all.shape[0]
+    bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
+    bkg_far = jnp.full((rays_per_batch, 1), cap.far["bkg"], jnp.float32)
+
+    actors = []
+    for spec_h, params_h, verts_h, faces_h, ts_h in zip(
+        human_specs, human_params_list, posed_verts_list, faces_list, Ts_list
+    ):
+        topo = _topo_cache(np.asarray(faces_h[:, :3], dtype=np.int32).tobytes(),
+                           faces=np.asarray(faces_h[:, :3], dtype=np.int32),
+                           num_verts=len(verts_h))
+        actors.append(
+            (
+                spec_h,
+                params_h,
+                jnp.asarray(verts_h, dtype=jnp.float32),
+                topo,
+                jnp.asarray(ts_h, dtype=jnp.float32)[: len(verts_h)],
+            )
+        )
+
+    def chunk_fn(origins, dirs):
+        bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_samples(
+            origins, dirs, bkg_near, bkg_far, samples_per_ray
+        )
+        bkg_out = hn.apply_coarse_bkg(bkg_spec, bkg_params, bkg_pts, bkg_dirs)
+        _, _, _, w, _ = volume.raw2outputs(
+            bkg_out, bkg_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
+        )
+        bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_importance_samples(
+            origins, dirs, bkg_z, w, importance_samples_per_ray, det=True
+        )
+        bkg_out = hn.apply_fine_bkg(bkg_spec, bkg_params, bkg_pts, bkg_dirs)
+
+        z_list, out_list = [bkg_z], [bkg_out]
+        for spec_h, params_h, verts_h, topo_h, ts_h in actors:
+            near, far = ray_ops.geometry_guided_near_far(
+                origins, dirs, verts_h, geo_threshold
+            )
+            hit = near < far
+            h_near = jnp.where(hit, near, 0.0)[:, None]
+            h_far = jnp.where(hit, far, 1.0)[:, None]
+            h_pts, h_dirs, h_z = ray_ops.ray_to_samples(
+                origins, dirs, h_near, h_far, samples_per_ray
+            )
+            can_pts, can_dirs, _ = mesh_ops.warp_samples_to_canonical(
+                h_pts, verts_h, ts_h, topo_h, k=knn_k
+            )
+            h_out = hn.apply_coarse_human(spec_h, params_h, can_pts, can_dirs)
+            dummy_z = (
+                jnp.linspace(2.0, 3.0, samples_per_ray)[None] * bkg_far[..., :1]
+            )
+            h_z = jnp.where(hit[:, None], h_z, dummy_z)
+            h_out = jnp.where(
+                hit[:, None, None], h_out, jnp.array([0.0, 0, 0, -1e9])
+            )
+            z_list.append(h_z)
+            out_list.append(h_out)
+
+        total_z, total_out = volume.sort_and_merge_samples(z_list, out_list)
+        rgb, _, _, _, depth = volume.raw2outputs(
+            total_out, total_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
+        )
+        return rgb, depth
+
+    fn = jax.jit(chunk_fn)
+    rgb, depth = _chunked(fn, [origins_all, dirs_all], total, rays_per_batch)
+    rgb = np.asarray(rgb).reshape(*cap.shape, -1)
+    depth = np.asarray(depth).reshape(*cap.shape)
+    if return_depth:
+        return rgb, depth
+    return rgb
+
+
+# ---------------------------------------------------------------------------
+# topology cache (avoid rebuilding incidence tables per frame)
+# ---------------------------------------------------------------------------
+
+_TOPO_CACHE = {}
+
+
+def _topo_cache(key_bytes, faces, num_verts):
+    key = (hash(key_bytes), num_verts)
+    if key not in _TOPO_CACHE:
+        _TOPO_CACHE[key] = mesh_ops.MeshTopology.build(faces, num_verts)
+    return _TOPO_CACHE[key]

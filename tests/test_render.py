@@ -1,0 +1,192 @@
+"""Renderer + HumanNeRF model tests on tiny synthetic inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuman_tpu.cameras.pinhole import PinholeCamera
+from neuman_tpu.cameras.pose import CameraPose
+from neuman_tpu.cameras.capture import ResizedPinholeCapture
+from neuman_tpu.geometry.rotation import Rotation, Translation
+from neuman_tpu.models import human_nerf as hn
+from neuman_tpu.models import nerf as nerf_module
+from neuman_tpu.models import smpl as smpl_module
+from neuman_tpu.options.config import NeuManConfig
+from neuman_tpu.render import paths, renderer
+
+
+def tiny_opt():
+    cfg = NeuManConfig()
+    cfg.nerf_depth = 2
+    cfg.nerf_width = 32
+    cfg.pos_N_freqs = 4
+    cfg.pos_max_freq = 3
+    cfg.dir_N_freqs = 2
+    cfg.dir_max_freq = 1
+    return cfg
+
+
+def tiny_cap(h=12, w=16):
+    cam = PinholeCamera(w, h, 14.0, 14.0, w / 2, h / 2)
+    pose = CameraPose(
+        Translation(np.array([0, 0, 2.5], dtype=np.float32)),
+        Rotation(np.array([1.0, 0, 0, 0])),
+    )
+    cap = ResizedPinholeCapture(cam, pose, (h, w))
+    cap.near = {"bkg": 0.5, "human": 1.0}
+    cap.far = {"bkg": 5.0, "human": 4.0}
+    cap.frame_id = {"frame_id": 0, "total_frames": 1}
+    return cap
+
+
+@pytest.fixture(scope="module")
+def model_bundle():
+    opt = tiny_opt()
+    spec = hn.build_human_nerf_spec(opt)
+    body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=6)
+    n = 3
+    rng = np.random.default_rng(0)
+    poses = rng.normal(size=(n, 18)).astype(np.float32) * 0.1
+    betas = rng.normal(size=(n, 10)).astype(np.float32) * 0.1
+    aligns = np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1))
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec, poses, betas, aligns
+    )
+    da = hn.da_pose_params(6)
+    return opt, spec, params, body, da
+
+
+def test_spec_shapes(model_bundle):
+    _, spec, params, _, _ = model_bundle
+    # canonical net uses the rotate posenc: out_dim = 2*N*3 + 3
+    assert spec.human.pos_pe.mapping == "rotate"
+    assert spec.bkg.pos_pe.mapping == "posenc"
+    assert spec.human.nerf.use_viewdirs  # specular_can default True
+    assert len(params["offset_nets"]) == 1
+
+
+def test_vertex_forward(model_bundle):
+    _, spec, params, body, da = model_bundle
+    world_verts, t = hn.vertex_forward(spec, params, body, da, scale=2.0, idx=1)
+    assert world_verts.shape == (1, 64, 3)
+    assert t.shape == (1, 64, 4, 4)
+    assert np.isfinite(np.asarray(world_verts)).all()
+    # scale=2 with identity alignment: verts ~ 2 * posed-from-da verts
+    wv1, _ = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=1)
+    np.testing.assert_allclose(
+        np.asarray(world_verts), 2.0 * np.asarray(wv1), atol=1e-4
+    )
+
+
+def test_vertex_forward_da_pose_identity(model_bundle):
+    """If the frame pose IS the Da-pose, T_da2pose = identity, so
+    world_verts = scale * da_verts (identity alignment)."""
+    _, spec, params, body, da = model_bundle
+    wv, t = hn.vertex_forward(
+        spec, params, body, da, scale=1.0, idx=0, pose=da,
+        beta=params["betas"][0][None],
+    )
+    da_verts, _ = smpl_module.smpl_forward(body, da, params["betas"][0][None])
+    np.testing.assert_allclose(np.asarray(wv), np.asarray(da_verts), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(t[0]), np.tile(np.eye(4), (64, 1, 1)), atol=1e-4
+    )
+
+
+def test_render_vanilla(model_bundle):
+    _, spec, params, _, _ = model_bundle
+    cap = tiny_cap()
+    rgb, depth = renderer.render_vanilla(
+        spec.bkg, params["coarse_bkg_net"], cap,
+        fine_params=params["fine_bkg_net"], rays_per_batch=64,
+        samples_per_ray=8, importance_samples_per_ray=8, return_depth=True,
+    )
+    assert rgb.shape == (12, 16, 3)
+    assert depth.shape == (12, 16)
+    assert np.isfinite(rgb).all() and np.isfinite(depth).all()
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0 + 1e-5
+
+
+def test_render_smpl_nerf_canonical(model_bundle):
+    _, spec, params, body, da = model_bundle
+    cap = tiny_cap()
+    verts = np.asarray(smpl_module.smpl_forward(body, da, jnp.zeros((1, 10)))[0][0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+    rgb, depth, acc = renderer.render_smpl_nerf(
+        spec, params, cap, verts, faces, None, rays_per_batch=64,
+        samples_per_ray=8, render_can=True, return_depth=True, return_mask=True,
+        geo_threshold=0.3, knn_k=4,
+    )
+    assert rgb.shape == (12, 16, 3)
+    assert np.isfinite(rgb).all()
+    # some rays miss the body -> white background
+    assert (acc == 0).any()
+
+
+def test_render_hybrid(model_bundle):
+    _, spec, params, body, da = model_bundle
+    cap = tiny_cap()
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=0)
+    verts = np.asarray(wv[0])
+    Ts = np.asarray(t[0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+    rgb, depth = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, rays_per_batch=64,
+        samples_per_ray=8, importance_samples_per_ray=8, return_depth=True,
+        geo_threshold=0.3, knn_k=4,
+    )
+    assert rgb.shape == (12, 16, 3)
+    assert np.isfinite(rgb).all()
+
+
+def test_render_multi_person(model_bundle):
+    _, spec, params, body, da = model_bundle
+    cap = tiny_cap()
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=0)
+    verts = np.asarray(wv[0])
+    Ts = np.asarray(t[0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+    rgb = renderer.render_hybrid_nerf_multi_persons(
+        spec, params, cap, [spec, spec], [params, params],
+        [verts, verts + 0.5], [faces, faces], [Ts, Ts],
+        rays_per_batch=64, samples_per_ray=8, importance_samples_per_ray=8,
+        geo_threshold=0.3, knn_k=4,
+    )
+    assert rgb.shape == (12, 16, 3)
+    assert np.isfinite(rgb).all()
+
+
+def test_default_360_path():
+    poses = paths.default_360_path(
+        np.array([0.0, 0, 0]), np.array([0, 1.0, 0]), 3.0, res=8
+    )
+    assert len(poses) == 8
+    centers = np.stack([p.camera_center_in_world for p in poses])
+    # all cameras at distance 3 from the center
+    np.testing.assert_allclose(np.linalg.norm(centers, axis=1), 3.0, atol=1e-4)
+    # looking at the center: forward axis points towards origin
+    for p in poses:
+        to_center = -p.camera_center_in_world
+        to_center = to_center / np.linalg.norm(to_center)
+        assert np.dot(p.forward, to_center) > 0.99
+
+
+def test_offset_net_switch(model_bundle):
+    opt = tiny_opt()
+    opt.num_offset_nets = 3
+    spec = hn.build_human_nerf_spec(opt)
+    params = hn.init_human_nerf_params(jax.random.PRNGKey(1), spec)
+    x = jnp.ones((4, 4)) * 0.1
+    outs = [
+        np.asarray(hn.apply_offset_net(spec, params, jnp.int32(i), x, 1.0))
+        for i in range(3)
+    ]
+    # different nets give different outputs
+    assert not np.allclose(outs[0], outs[1])
+    assert not np.allclose(outs[1], outs[2])
+    # matches direct application
+    direct = np.asarray(
+        nerf_module.apply_offset_net(spec.offset, params["offset_nets"][2], x, 1.0)
+    )
+    np.testing.assert_allclose(outs[2], direct, atol=1e-6)
