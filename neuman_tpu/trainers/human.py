@@ -1,0 +1,716 @@
+"""Human NeRF trainer (stage 2) — joint SMPL + offset + canonical volume.
+
+Loss parity with the reference HumanNeRFTrainer
+(trainers/human_nerf_trainer.py:109-680), all device-side in ONE jitted step:
+
+- frozen background branch (coarse->fine, outputs stop-gradient,
+  ref:197-239);
+- human branch: stratified human-range samples -> offset net on (x, t)
+  (random choice among num_offset_nets) -> SMPL `vertex_forward` ->
+  differentiable inverse-LBS warp (device mesh queries replace the
+  reference's per-step GPU->CPU->igl->GPU round trips, ref:264-271) ->
+  canonical net with finite-difference view dirs (ref:241-278);
+- losses: z-sort-merged RGB MSE on hit rays (415-429); LPIPS on the leading
+  32x32 patch (432-435); color-range regularization (280-289); SMPL symmetry
+  (291-303); SMPL shape via signed distance with random dummy box samples
+  (305-343); mask loss (399-403); sparsity/hard-surface/sharp-edge on random
+  canonical-camera rays with interval compensation (345-380);
+- train_batch machinery: NaN skip, DensePose joint-visibility gradient
+  gating on poses (560-571), delayed RGB loss, per-group LR decay
+  (smpl_lr vs learning_rate), penalty anneals, offset-scale ramp
+  (579-603), dead-network restart of offset+canonical nets (437-442).
+
+Trainability matches the reference optimizer groups (train.py:128-141):
+poses + coarse_human_net (+ offset_nets unless smpl_only); betas,
+alignments, and both background nets are frozen.
+"""
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from neuman_tpu.datasets import sampler
+from neuman_tpu.models import human_nerf as hn
+from neuman_tpu.models import lpips as lpips_module
+from neuman_tpu.models import nerf as nerf_module
+from neuman_tpu.ops import mesh as mesh_ops
+from neuman_tpu.ops import rays as ray_ops
+from neuman_tpu.ops import volume
+from neuman_tpu.trainers import checkpoint as ckpt
+from neuman_tpu.trainers import logging as tlog
+from neuman_tpu.trainers.background import make_optimizer
+from neuman_tpu.utils.constants import (
+    CANONICAL_CAMERA_DIST,
+    HARD_SURFACE_OFFSET,
+    PATCH_SIZE,
+    PATCH_SIZE_SQUARED,
+)
+
+LOSS_NAMES = [
+    "fine_rgb_loss",
+    "lpips_loss",
+    "color_range_reg",
+    "smpl_sym_reg",
+    "smpl_shape_reg",
+    "mask_loss",
+    "sparsity_reg",
+]
+
+
+def densepose_name_to_idx():
+    return {
+        "Torso": [1, 2], "Right Hand": [3], "Left Hand": [4],
+        "Left Foot": [5], "Right Foot": [6],
+        "Upper Leg Right": [7, 9], "Upper Leg Left": [8, 10],
+        "Lower Leg Right": [11, 13], "Lower Leg Left": [12, 14],
+        "Upper Arm Left": [15, 17], "Upper Arm Right": [16, 18],
+        "Lower Arm Left": [19, 21], "Lower Arm Right": [20, 22],
+        "Head": [23, 24],
+    }
+
+
+def turn_smpl_gradient_off(dp_mask):
+    """24x3 pose-gradient mask from DensePose part visibility
+    (ref: human_nerf_trainer.py:70-106). Returns [72] flat mask."""
+    assert dp_mask is not None
+    grad_mask = np.ones([24, 3])
+    idx2name = {}
+    for name, ids in densepose_name_to_idx().items():
+        for i in ids:
+            idx2name[i] = name
+    visible = {idx2name[i] for i in range(1, 25) if i in np.unique(dp_mask)}
+    rules = [
+        ("Upper Leg Left", [1]), ("Upper Leg Right", [2]),
+        ("Lower Leg Left", [4]), ("Lower Leg Right", [5]),
+        ("Left Foot", [7, 10]), ("Right Foot", [8, 11]),
+        ("Upper Arm Left", [16]), ("Upper Arm Right", [17]),
+        ("Lower Arm Left", [18]), ("Lower Arm Right", [19]),
+        ("Left Hand", [20, 22]), ("Right Hand", [21, 23]),
+        ("Head", [12, 15]),
+    ]
+    for name, joints in rules:
+        if name not in visible:
+            for j in joints:
+                grad_mask[j] = 0
+    return grad_mask.reshape(-1)
+
+
+def build_pose_grad_masks(scene, view_indices):
+    """[N, 72] per-frame pose gradient masks (ones when no densepose)."""
+    masks = []
+    for i in view_indices:
+        dp = getattr(scene.captures[i], "densepose", None)
+        if dp is None:
+            masks.append(np.ones(72, np.float32))
+        else:
+            try:
+                masks.append(turn_smpl_gradient_off(dp).astype(np.float32))
+            except Exception:
+                masks.append(np.ones(72, np.float32))
+    return jnp.asarray(np.stack(masks))
+
+
+def _masked_mean(values, mask):
+    return (values * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def make_human_loss_fn(spec, opt, ctx):
+    """ctx: dict with body_model, da_smpl, scale, topo, can_verts [N,V,3],
+    can_k [C,3,3], can_c2w [C,4,4], can_hw, interval_comp, lpips_params,
+    knn_k."""
+
+    body_model = ctx["body_model"]
+    da_smpl = ctx["da_smpl"]
+    scene_scale = ctx["scale"]
+    topo = ctx["topo"]
+    knn_k = ctx["knn_k"]
+
+    def eval_bkg(params, batch):
+        pts, dirs, z = ray_ops.ray_to_samples(
+            batch["origin"], batch["direction"], batch["bkg_near"],
+            batch["bkg_far"], opt.samples_per_ray,
+        )
+        out = jax.lax.stop_gradient(hn.apply_coarse_bkg(spec, params, pts, dirs))
+        _, _, _, w, _ = volume.raw2outputs(
+            out, z, dirs[:, 0, :], white_bkg=opt.white_bkg
+        )
+        w = jax.lax.stop_gradient(w)
+        f_pts, f_dirs, f_z = ray_ops.ray_to_importance_samples(
+            batch["origin"], batch["direction"], z, w,
+            opt.importance_samples_per_ray, det=True,
+        )
+        f_out = jax.lax.stop_gradient(
+            hn.apply_fine_bkg(spec, params, f_pts, f_dirs)
+        )
+        return f_dirs, f_z, f_out
+
+    def eval_human(params, batch, keys, offset_scale):
+        k_perturb, k_offset = keys
+        pts, dirs, z = ray_ops.ray_to_samples(
+            batch["origin"], batch["direction"], batch["human_near"],
+            batch["human_far"], opt.samples_per_ray, key=k_perturb,
+            perturb=opt.perturb,
+        )
+        r, s, _ = pts.shape
+        cur_time = jnp.full_like(pts[..., :1], batch["cur_view_f"])
+        which = jax.random.randint(k_offset, (), 0, spec.num_offset_nets)
+        offset = hn.apply_offset_net(
+            spec, params, which, jnp.concatenate([pts, cur_time], axis=-1),
+            offset_scale,
+        )
+        # cap_id indexes the staged arrays; learnable SMPL params are
+        # per-scene-frame, so map through scene_ids.
+        scene_id = ctx["scene_ids"][batch["cap_id"]]
+        verts, raw_ts = hn.vertex_forward(
+            spec, params, body_model, da_smpl, scene_scale, scene_id
+        )
+        flat = pts.reshape(-1, 3)
+        ts_inv, f_id, _ = mesh_ops.warp_samples_to_canonical_diff(
+            flat, verts[0], raw_ts[0], topo, k=knn_k
+        )
+        can = jnp.einsum(
+            "nij,nj->ni", ts_inv,
+            jnp.concatenate([flat, jnp.ones_like(flat[:, :1])], axis=-1),
+        )[:, :3].reshape(r, s, 3)
+        can = can + offset
+        can_dirs = can[:, 1:] - can[:, :-1]
+        can_dirs = jnp.concatenate([can_dirs, can_dirs[:, -1:]], axis=1)
+        can_dirs = can_dirs / (
+            jnp.linalg.norm(can_dirs, axis=2, keepdims=True) + 1e-20
+        )
+        out = hn.apply_coarse_human(spec, params, can, can_dirs)
+        return dirs, z, can, can_dirs, out
+
+    def color_range_reg(params, can_pts, can_dirs, tgts, key, weight):
+        dummy_dirs = jax.random.normal(key, can_dirs.shape, can_dirs.dtype)
+        dummy_dirs = dummy_dirs / jnp.linalg.norm(dummy_dirs, axis=-1, keepdims=True)
+        dummy_out = hn.apply_coarse_human(spec, params, can_pts, dummy_dirs)
+        return (
+            jnp.mean(
+                (jax.nn.sigmoid(dummy_out[..., :3]) - jax.nn.sigmoid(tgts[..., :3]))
+                ** 2
+            )
+            * weight
+        )
+
+    def sym_reg(params, can_pts, can_dirs, tgts, weight):
+        pts_flip = jax.lax.stop_gradient(can_pts).at[..., 0].mul(-1.0)
+        out_flip = hn.apply_coarse_human(
+            spec, params, pts_flip, jax.lax.stop_gradient(can_dirs)
+        )
+        return (
+            jnp.mean(
+                (
+                    jnp.tanh(jax.nn.relu(tgts[..., 3]))
+                    - jnp.tanh(jax.nn.relu(out_flip[..., 3]))
+                )
+                ** 2
+            )
+            * weight
+        )
+
+    def shape_reg(params, batch, can_pts, can_dirs, pred, key, w_alpha, w_dummy):
+        can_verts = ctx["can_verts"][batch["cap_id"]]
+        flat = can_pts.reshape(-1, 3)
+        sd, _, _ = mesh_ops.signed_distance(
+            jax.lax.stop_gradient(flat), can_verts, topo, k=knn_k
+        )
+        inside = (sd < 0).astype(jnp.float32)
+        occ = 1.0 - jnp.exp(-jax.nn.relu(pred.reshape(-1, 4)[:, 3]))
+        reg = _masked_mean((occ - 1.0) ** 2, inside) * w_alpha
+
+        dummy_pts = (jax.random.uniform(key, can_pts.shape) - 0.5) * 3.0
+        dummy_out = hn.apply_coarse_human(spec, params, dummy_pts, can_dirs)
+        sd_d, _, _ = mesh_ops.signed_distance(
+            dummy_pts.reshape(-1, 3), can_verts, topo, k=knn_k
+        )
+        sd_d = jax.lax.stop_gradient(sd_d)
+        d_inside = (sd_d < 0).astype(jnp.float32)
+        d_outside = (sd_d > 0).astype(jnp.float32)
+        d_occ = 1.0 - jnp.exp(-jax.nn.relu(dummy_out.reshape(-1, 4)[:, 3]))
+        reg = reg + _masked_mean((d_occ - 1.0) ** 2, d_inside) * w_dummy
+        outside_val = d_occ * jnp.power(
+            jnp.abs(sd_d) * opt.penalize_outside_factor, opt.dist_exponent
+        )
+        if opt.penalize_outside_loss == "mse":
+            reg = reg + _masked_mean(outside_val**2, d_outside) * w_dummy
+        else:
+            reg = reg + _masked_mean(jnp.abs(outside_val), d_outside) * w_dummy
+        return reg
+
+    def sparsity_reg(params, keys, interval_comp):
+        k_cam, k_pix, k_perturb = keys
+        num_can_rays = 128
+        c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
+        h, w = ctx["can_hw"]
+        kx, ky = jax.random.split(k_pix)
+        x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
+        y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
+        origin, direction = ray_ops.pixels_to_rays(
+            jnp.stack([x, y], axis=-1), ctx["can_k"][c], ctx["can_c2w"][c]
+        )
+        near = jnp.zeros((num_can_rays, 1))
+        far = jnp.full((num_can_rays, 1), CANONICAL_CAMERA_DIST * 1.667)
+        pts, dirs, z = ray_ops.ray_to_samples(
+            origin, direction, near, far, opt.samples_per_ray, key=k_perturb,
+            perturb=opt.perturb,
+        )
+        out = hn.apply_coarse_human(spec, params, pts, dirs)
+        out = out.at[..., -1].mul(interval_comp)
+        _, _, can_mask, can_w, _ = volume.raw2outputs(
+            out, z, dirs[:, 0, :], white_bkg=True
+        )
+        can_w = jnp.clip(can_w, 0.0, 1.0)
+        can_mask = jnp.clip(can_mask, 0.0, 1.0)
+        reg = 0.0
+        if opt.penalize_sharp_edge > 0:
+            reg = reg + jnp.mean(
+                -jnp.log(
+                    jnp.exp(-jnp.abs(can_mask)) + jnp.exp(-jnp.abs(1 - can_mask))
+                )
+                + HARD_SURFACE_OFFSET
+            ) * opt.penalize_sharp_edge
+        if opt.penalize_hard_surface > 0:
+            reg = reg + jnp.mean(
+                -jnp.log(jnp.exp(-jnp.abs(can_w)) + jnp.exp(-jnp.abs(1 - can_w)))
+                + HARD_SURFACE_OFFSET
+            ) * opt.penalize_hard_surface
+        return reg
+
+    def loss_fn(params, batch, keys, anneals):
+        losses = {name: 0.0 for name in LOSS_NAMES}
+        fine_dirs, fine_z, fine_out = eval_bkg(params, batch)
+        human_dirs, human_z, can_pts, can_dirs, human_out = eval_human(
+            params, batch, (keys["perturb"], keys["offset"]),
+            anneals["offset_scale"],
+        )
+
+        if opt.penalize_symmetric_alpha > 0:
+            losses["smpl_sym_reg"] = sym_reg(
+                params, can_pts, can_dirs, human_out, anneals["sym_w"]
+            )
+        if opt.penalize_color_range > 0:
+            losses["color_range_reg"] = color_range_reg(
+                params, can_pts, can_dirs, human_out, keys["color"],
+                opt.penalize_color_range,
+            )
+        if opt.penalize_mask > 0:
+            _, _, human_mask, _, _ = volume.raw2outputs(
+                human_out, human_z, human_dirs[:, 0, :], white_bkg=opt.white_bkg
+            )
+            tgt = (1 - batch["is_bkg"]).astype(jnp.float32)
+            losses["mask_loss"] = (
+                jnp.mean((jnp.clip(human_mask, 0.0, 1.0) - tgt) ** 2)
+                * anneals["mask_w"]
+            )
+        if opt.penalize_smpl_alpha > 0:
+            losses["smpl_shape_reg"] = shape_reg(
+                params, batch, can_pts, can_dirs, human_out, keys["dummy"],
+                anneals["smpl_alpha_w"], anneals["dummy_w"],
+            )
+        if opt.penalize_sharp_edge > 0 or opt.penalize_hard_surface > 0:
+            losses["sparsity_reg"] = sparsity_reg(
+                params,
+                (keys["can_cam"], keys["can_pix"], keys["can_perturb"]),
+                ctx["interval_comp"],
+            )
+
+        total_z, total_out = volume.sort_and_merge_samples(
+            [fine_z, human_z], [fine_out, human_out]
+        )
+        fine_rgb_map, _, _, _, _ = volume.raw2outputs(
+            total_out, total_z, fine_dirs[:, 0, :], white_bkg=opt.white_bkg
+        )
+        hit = batch["is_hit"].astype(jnp.float32)
+        se = jnp.mean((fine_rgb_map - batch["color"]) ** 2, axis=-1)
+        losses["fine_rgb_loss"] = _masked_mean(se, hit)
+
+        if opt.penalize_lpips > 0 and ctx["lpips_params"] is not None:
+            pred = fine_rgb_map[:PATCH_SIZE_SQUARED].reshape(
+                PATCH_SIZE, PATCH_SIZE, 3
+            )
+            gt = batch["color"][:PATCH_SIZE_SQUARED].reshape(
+                PATCH_SIZE, PATCH_SIZE, 3
+            )
+            d = lpips_module.lpips(
+                ctx["lpips_params"],
+                jnp.transpose(pred, (2, 0, 1))[None] * 2 - 1,
+                jnp.transpose(gt, (2, 0, 1))[None] * 2 - 1,
+            )[0]
+            losses["lpips_loss"] = (
+                d * opt.penalize_lpips * batch["patch_counter"].astype(jnp.float32)
+            )
+
+        dead = human_out[..., 3].max() <= 0.0
+        # dead restart zeroes every loss (ref: 437-442)
+        losses = {k: jnp.where(dead, 0.0, v) for k, v in losses.items()}
+        losses["rgb_loss"] = (
+            losses["fine_rgb_loss"] + losses["color_range_reg"] + losses["lpips_loss"]
+        )
+        losses["can_loss"] = losses["smpl_sym_reg"] + losses["smpl_shape_reg"]
+        total = jnp.where(
+            anneals["iteration"] >= opt.delay_iters,
+            losses["rgb_loss"] + losses["can_loss"] + losses["mask_loss"]
+            + losses["sparsity_reg"],
+            losses["can_loss"] + losses["mask_loss"] + losses["sparsity_reg"],
+        )
+        losses["total_loss"] = total
+        return total, {"losses": losses, "dead": dead}
+
+    return loss_fn
+
+
+def compute_anneals(opt, it):
+    """Per-iteration schedule scalars (ref: human_nerf_trainer.py:579-603)."""
+    it_f = it.astype(jnp.float32)
+    decay = jnp.maximum(0.0, 1.0 - it_f / 60000.0)
+    anneals = {
+        "iteration": it,
+        "mask_w": opt.penalize_mask * decay,
+        "sym_w": (
+            opt.penalize_symmetric_alpha * decay
+            if opt.prior_knowledge_decay
+            else opt.penalize_symmetric_alpha
+        ),
+        "dummy_w": (
+            opt.penalize_dummy * decay if opt.prior_knowledge_decay else opt.penalize_dummy
+        ),
+        "smpl_alpha_w": (
+            opt.penalize_smpl_alpha * decay
+            if opt.prior_knowledge_decay
+            else opt.penalize_smpl_alpha
+        ),
+    }
+    ramp = (opt.offset_lim - opt.offset_scale) * jnp.maximum(
+        0.0, (it_f - opt.offset_delay) / 60000.0
+    ) + opt.offset_scale
+    anneals["offset_scale"] = jnp.where(
+        it >= opt.offset_delay, jnp.minimum(ramp, opt.offset_lim), 0.0
+    )
+    decay_steps = (opt.lrate_decay or 250) * 1000.0
+    anneals["lr"] = opt.learning_rate * jnp.power(0.1, it_f / decay_steps)
+    anneals["smpl_lr"] = opt.smpl_lr * jnp.power(0.1, it_f / decay_steps)
+    return anneals
+
+
+def trainable_mask(params, train_mode):
+    """0/1 mask tree over params matching the reference optimizer groups."""
+    def fill(tree, value):
+        return jax.tree_util.tree_map(lambda _: value, tree)
+
+    mask = {}
+    for k, v in params.items():
+        if k == "poses":
+            mask[k] = 1.0
+        elif k == "coarse_human_net":
+            mask[k] = fill(v, 1.0)
+        elif k == "offset_nets":
+            mask[k] = fill(v, 0.0 if train_mode == "smpl_only" else 1.0)
+        else:  # betas, alignments, coarse/fine bkg nets: frozen
+            mask[k] = fill(v, 0.0)
+    return mask
+
+
+def lr_tree(params, anneals):
+    out = {}
+    for k, v in params.items():
+        lr = anneals["smpl_lr"] if k == "poses" else anneals["lr"]
+        out[k] = jax.tree_util.tree_map(lambda _: lr, v)
+    return out
+
+
+def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx):
+    train_view_ids = jnp.asarray(np.array(train_view_ids, np.int32))
+    loss_fn = make_human_loss_fn(spec, opt, ctx)
+    use_patch = opt.penalize_lpips > 0
+    ratios = (opt.body_rays_ratio, opt.border_rays_ratio, opt.bkg_rays_ratio)
+    grad_masks = ctx["grad_masks"]  # [N, 72]
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state):
+        it = state["iteration"]
+        (rng, k_batch, k_perturb, k_offset, k_color, k_dummy, k_cam, k_pix,
+         k_cperturb, k_reinit) = jax.random.split(state["rng"], 10)
+        batch = sampler.sample_human_batch(
+            k_batch, arrays, train_view_ids, opt.geo_threshold,
+            opt.rays_per_batch, ratios=ratios, use_patch=use_patch,
+            dilation=opt.dilation,
+        )
+        anneals = compute_anneals(opt, it)
+        keys = {
+            "perturb": k_perturb, "offset": k_offset, "color": k_color,
+            "dummy": k_dummy, "can_cam": k_cam, "can_pix": k_pix,
+            "can_perturb": k_cperturb,
+        }
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, keys, anneals
+        )
+        dead = aux["dead"]
+        bad = dead | jnp.isnan(total)
+
+        # DensePose joint-visibility gradient gating (ref: 560-571)
+        if opt.block_grad and "poses" in grads:
+            grads["poses"] = grads["poses"] * grad_masks
+
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(bad, jnp.zeros_like(g), g), grads
+        )
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        mask = trainable_mask(state["params"], opt.train_mode)
+        lrs = lr_tree(state["params"], anneals)
+        updates = jax.tree_util.tree_map(
+            lambda u, m, lr: jnp.where(bad, jnp.zeros_like(u), u * m * lr),
+            updates, mask, lrs,
+        )
+        params = optax.apply_updates(state["params"], updates)
+
+        # dead restart: offset nets + canonical net get fresh params
+        keys_r = jax.random.split(k_reinit, 1 + spec.num_offset_nets)
+        fresh_can = nerf_module.init_nerf_params(keys_r[0], spec.human.nerf)
+        params["coarse_human_net"] = jax.tree_util.tree_map(
+            lambda fr, pa: jnp.where(dead, fr, pa),
+            fresh_can, params["coarse_human_net"],
+        )
+        fresh_off = [
+            nerf_module.init_nerf_params(keys_r[1 + i], spec.offset.nerf)
+            for i in range(spec.num_offset_nets)
+        ]
+        params["offset_nets"] = jax.tree_util.tree_map(
+            lambda fr, pa: jnp.where(dead, fr, pa),
+            fresh_off, params["offset_nets"],
+        )
+
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "iteration": it + 1,
+            "rng": rng,
+        }
+        metrics = dict(aux["losses"])
+        metrics.update(
+            {
+                "lr": anneals["lr"],
+                "smpl_lr": anneals["smpl_lr"],
+                "offset_scale": anneals["offset_scale"],
+                "penalize_mask": anneals["mask_w"],
+                "dead_restart": dead.astype(jnp.float32),
+            }
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+class HumanNeRFTrainer:
+    """Host-side driver for the human stage."""
+
+    def __init__(self, opt, spec, params, scene, train_views, val_views,
+                 body_model, interval_comp=1.0, lpips_params=None):
+        from neuman_tpu.cameras.capture import ResizedPinholeCapture
+        from neuman_tpu.cameras.pinhole import PinholeCamera
+        from neuman_tpu.datasets.arrays import build_scene_arrays
+        from neuman_tpu.render import paths
+        from neuman_tpu.utils.constants import CANONICAL_ZOOM_FACTOR
+        from neuman_tpu.utils.misc import smpl_verts_to_center_and_up
+
+        self.opt = opt
+        self.spec = spec
+        self.scene = scene
+        self.out = opt.out
+        os.makedirs(self.out, exist_ok=True)
+        all_views = sorted(set(train_views) | set(val_views))
+        self.arrays = build_scene_arrays(scene, all_views, need_depth=False)
+        remap = {v: i for i, v in enumerate(all_views)}
+        self.train_ids = [remap[v] for v in train_views]
+        self.val_ids = [remap[v] for v in val_views]
+        self.all_views = all_views
+        self.interval_comp = interval_comp
+
+        # canonical validation cameras on a 360 path (ref: 156-173)
+        center, up = smpl_verts_to_center_and_up(
+            np.asarray(scene.static_vert[0]), body_model
+        )
+        render_poses = paths.default_360_path(center, up, CANONICAL_CAMERA_DIST, 100)
+        base_cam = scene.captures[0].pinhole_cam
+        tgt = opt.tgt_size or base_cam.shape
+        self.can_caps = [
+            ResizedPinholeCapture(
+                PinholeCamera(
+                    base_cam.width, base_cam.height,
+                    CANONICAL_ZOOM_FACTOR * base_cam.width,
+                    CANONICAL_ZOOM_FACTOR * base_cam.width,
+                    base_cam.width / 2.0, base_cam.height / 2.0,
+                ),
+                rp, tgt_size=tgt,
+            )
+            for rp in render_poses
+        ]
+
+        topo = mesh_ops.MeshTopology.build(
+            scene.faces[:, :3], body_model.num_verts
+        )
+        self.ctx = {
+            "body_model": body_model,
+            "da_smpl": hn.da_pose_params(body_model.num_joints),
+            "scale": scene.scale,
+            "topo": topo,
+            "can_verts": jnp.asarray(
+                np.stack([np.asarray(scene.static_vert[i]) for i in all_views]),
+                dtype=jnp.float32,
+            ),
+            "can_k": jnp.asarray(
+                np.stack([c.intrinsic_matrix for c in self.can_caps]),
+                dtype=jnp.float32,
+            ),
+            "can_c2w": jnp.asarray(
+                np.stack(
+                    [c.cam_pose.camera_to_world for c in self.can_caps]
+                ),
+                dtype=jnp.float32,
+            ),
+            "can_hw": self.can_caps[0].shape,
+            "interval_comp": interval_comp,
+            "lpips_params": lpips_params,
+            # poses/grad masks are per-scene-frame (ref: poses has one row
+            # per capture); scene_ids maps staged-array index -> scene index
+            "scene_ids": jnp.asarray(np.array(all_views, np.int32)),
+            "grad_masks": build_pose_grad_masks(
+                scene, range(len(scene.captures))
+            ),
+            "knn_k": 4,
+        }
+
+        self.optimizer = make_optimizer()
+        self.state = {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "iteration": jnp.int32(0),
+            "rng": jax.random.PRNGKey(opt.seed),
+        }
+        self.step_fn = make_human_train_step(
+            spec, opt, self.arrays, self.train_ids, self.optimizer, self.ctx
+        )
+        self.loss_fn = make_human_loss_fn(spec, opt, self.ctx)
+        self.pusher = tlog.MetricsPusher(opt)
+        self.meter = tlog.ThroughputMeter(
+            opt.rays_per_batch * 4 * opt.samples_per_ray
+        )
+        if opt.resume:
+            self.resume()
+        elif opt.load_weights:
+            self.load_pretrained_weights()
+
+    @property
+    def iteration(self):
+        return int(self.state["iteration"])
+
+    def train(self):
+        while self.iteration < self.opt.max_iter:
+            if self.iteration % self.opt.valid_iter == 0:
+                self.validate()
+            self.state, metrics = self.step_fn(self.state)
+            self.meter.tick()
+            if self.iteration % 100 == 0:
+                scalars = {
+                    f"train_loss/{k}": float(v)
+                    for k, v in metrics.items()
+                    if "loss" in k or "reg" in k
+                }
+                for k in ("lr", "offset_scale", "penalize_mask"):
+                    scalars[f"hyper_params/{k}"] = float(metrics[k])
+                scalars.update(
+                    {f"perf/{k}": v for k, v in self.meter.rates().items()}
+                )
+                self.pusher.push_scalars(self.iteration, scalars)
+        self.validate()
+
+    def validate(self):
+        import jax.random as jrandom
+
+        from neuman_tpu.render import renderer
+
+        key = jrandom.fold_in(jrandom.PRNGKey(1), self.iteration)
+        val_ids = jnp.asarray(
+            np.array(self.val_ids if self.val_ids else self.train_ids, np.int32)
+        )
+        batch = sampler.sample_human_batch(
+            key, self.arrays, val_ids, self.opt.geo_threshold,
+            self.opt.rays_per_batch,
+            ratios=(
+                self.opt.body_rays_ratio, self.opt.border_rays_ratio,
+                self.opt.bkg_rays_ratio,
+            ),
+            use_patch=self.opt.penalize_lpips > 0, dilation=self.opt.dilation,
+        )
+        anneals = compute_anneals(self.opt, jnp.int32(self.iteration))
+        keys = {
+            n: k
+            for n, k in zip(
+                ("perturb", "offset", "color", "dummy", "can_cam", "can_pix",
+                 "can_perturb"),
+                jrandom.split(key, 7),
+            )
+        }
+        _, aux = self.loss_fn(self.state["params"], batch, keys, anneals)
+        scalars = {f"val_loss/{k}": float(v) for k, v in aux["losses"].items()}
+        self.pusher.push_scalars(self.iteration, scalars, training=False)
+
+        # canonical render for visual validation (ref: 487-513)
+        can_cap = self.can_caps[0]
+        rgb = renderer.render_smpl_nerf(
+            self.spec, self.state["params"], can_cap,
+            np.asarray(self.scene.static_vert[0]), self.scene.faces, None,
+            rays_per_batch=self.opt.rays_per_batch,
+            samples_per_ray=self.opt.samples_per_ray, white_bkg=True,
+            render_can=True, interval_comp=self.interval_comp,
+            geo_threshold=self.opt.geo_threshold, knn_k=self.ctx["knn_k"],
+        )
+        try:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                os.path.join(self.out, f"val_can_{self.iteration:08d}.png"),
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            )
+        except Exception:
+            pass
+        self.save_model()
+
+    def save_model(self):
+        ckpt.save_checkpoint(
+            os.path.join(self.out, "checkpoint.npz"),
+            {
+                "epoch": np.int64(0),
+                "iteration": np.int64(self.iteration),
+                "optim_state": self.state["opt_state"],
+                "hybrid_model": self.state["params"],
+            },
+        )
+
+    def resume(self):
+        data = ckpt.load_checkpoint(os.path.join(self.out, "checkpoint.npz"))
+        merged, missing = ckpt.safe_merge_params(
+            self.state["params"], data["hybrid_model"]
+        )
+        self.state["params"] = merged
+        self.state["opt_state"] = ckpt.restore_like(
+            self.state["opt_state"], data["optim_state"]
+        )
+        self.state["iteration"] = jnp.int32(int(data["iteration"]))
+        if missing:
+            print(f"partial resume; missing: {missing}")
+
+    def load_pretrained_weights(self):
+        data = ckpt.load_checkpoint(self.opt.load_weights_path)
+        merged, missing = ckpt.safe_merge_params(
+            self.state["params"], data["hybrid_model"]
+        )
+        self.state["params"] = merged
+        if missing:
+            print(f"partial load; missing: {missing}")

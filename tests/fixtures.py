@@ -16,7 +16,7 @@ import imageio.v2 as imageio
 
 from neuman_tpu.cameras.contents import write_colmap_depth_bin
 
-H, W = 30, 40
+H, W = 48, 64  # >= 32x32 so the LPIPS patch sampler has room
 NUM_FRAMES = 10
 NUM_JOINTS = 24
 NUM_VERTS = 128

@@ -20,8 +20,8 @@ def test_colmap_reader(synthetic_scene_dir):
     assert scene.point_cloud.shape == (200, 6)
     cap = scene.captures[0]
     assert cap.frame_id == {"frame_id": 0, "total_frames": 10}
-    assert cap.image.shape == (30, 40, 3)
-    assert cap.pinhole_cam.width == 40
+    assert cap.image.shape == (48, 64, 3)
+    assert cap.pinhole_cam.width == 64
     # video order sorts by filename
     names = [os.path.basename(c.image_path) for c in scene.captures]
     assert names == sorted(names)
@@ -112,9 +112,9 @@ def test_create_split_files(synthetic_scene_dir, smpl_data_root):
 
 def test_resized_scene(synthetic_scene_dir, smpl_data_root):
     scene = neuman.NeuManReader.read_scene(
-        synthetic_scene_dir, tgt_size=(15, 20), normalize=True, smpl_type="optimized"
+        synthetic_scene_dir, tgt_size=(24, 32), normalize=True, smpl_type="optimized"
     )
     cap = scene.captures[0]
-    assert cap.image.shape == (15, 20, 3)
-    assert cap.mask.shape == (15, 20)
-    assert cap.pinhole_cam.width == 20
+    assert cap.image.shape == (24, 32, 3)
+    assert cap.mask.shape == (24, 32)
+    assert cap.pinhole_cam.width == 32

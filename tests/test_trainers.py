@@ -1,0 +1,237 @@
+"""Trainer smoke + behavior tests on the synthetic scene (tiny settings)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuman_tpu.data_io import neuman
+from neuman_tpu.models import human_nerf as hn
+from neuman_tpu.models import nerf as nerf_module
+from neuman_tpu.options.config import NeuManConfig, apply_mode_defaults
+from neuman_tpu.trainers import checkpoint as ckpt
+from neuman_tpu.trainers.background import NeRFTrainer
+from neuman_tpu.trainers.human import HumanNeRFTrainer, turn_smpl_gradient_off
+from neuman_tpu.utils.misc import add_border_mask
+
+
+def small_cfg(tmp_path, mode="bkg"):
+    cfg = apply_mode_defaults(NeuManConfig(), mode)
+    cfg.nerf_depth = 2
+    cfg.nerf_width = 32
+    cfg.pos_N_freqs = 4
+    cfg.pos_max_freq = 3
+    cfg.dir_N_freqs = 2
+    cfg.dir_max_freq = 1
+    cfg.samples_per_ray = 8
+    cfg.importance_samples_per_ray = 8
+    cfg.rays_per_batch = 64
+    cfg.max_iter = 3
+    cfg.valid_iter = 100  # avoid mid-train validation renders
+    cfg.out_dir = str(tmp_path)
+    cfg.name = "test"
+    cfg.dilation = 2
+    cfg.penalize_lpips = 0.0
+    cfg.geo_threshold = 0.3
+    cfg.scene_dir = "unused"
+    return cfg.finalize()
+
+
+@pytest.fixture(scope="module")
+def scene(synthetic_scene_dir, smpl_data_root):
+    s = neuman.NeuManReader.read_scene(
+        synthetic_scene_dir, normalize=True, smpl_type="optimized"
+    )
+    s.read_data_to_ram(data_list=["image", "depth"])
+    add_border_mask(s, iterations=2)
+    return s
+
+
+# ---------------- checkpoint ----------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "a": {"w": np.arange(6).reshape(2, 3).astype(np.float32)},
+        "lst": [{"w": np.ones(3)}, {"w": np.zeros(2)}],
+        "it": np.int64(7),
+    }
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(path, tree)
+    out = ckpt.load_checkpoint(path)
+    np.testing.assert_allclose(out["a"]["w"], tree["a"]["w"])
+    np.testing.assert_allclose(out["lst"][1]["w"], tree["lst"][1]["w"])
+    assert int(out["it"]) == 7
+
+
+def test_safe_merge_params():
+    target = {"a": np.zeros((2, 2)), "b": [np.zeros(3), np.zeros(4)]}
+    loaded = {"a": np.ones((2, 2)), "b": [np.ones(3)]}
+    merged, missing = ckpt.safe_merge_params(target, loaded)
+    np.testing.assert_allclose(np.asarray(merged["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["b"][0]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["b"][1]), 0.0)
+    assert missing == ["b/1"]
+
+
+def test_convert_joiner_state_dict():
+    import torch
+
+    sd = {}
+    widths = {0: (32, 63)}
+    sd["nerf.pts_linears.0.weight"] = torch.randn(32, 63)
+    sd["nerf.pts_linears.0.bias"] = torch.randn(32)
+    sd["nerf.pts_linears.1.weight"] = torch.randn(32, 32)
+    sd["nerf.pts_linears.1.bias"] = torch.randn(32)
+    sd["nerf.views_linears.0.weight"] = torch.randn(16, 59)
+    sd["nerf.views_linears.0.bias"] = torch.randn(16)
+    sd["nerf.feature_linear.weight"] = torch.randn(32, 32)
+    sd["nerf.feature_linear.bias"] = torch.randn(32)
+    sd["nerf.alpha_linear.weight"] = torch.randn(1, 32)
+    sd["nerf.alpha_linear.bias"] = torch.randn(1)
+    sd["nerf.rgb_linear.weight"] = torch.randn(3, 16)
+    sd["nerf.rgb_linear.bias"] = torch.randn(3)
+    params = ckpt.convert_joiner_state_dict(sd, depth=2, use_viewdirs=True)
+    assert params["pts_linears"][0]["w"].shape == (63, 32)  # transposed
+    np.testing.assert_allclose(
+        np.asarray(params["pts_linears"][0]["w"]),
+        sd["nerf.pts_linears.0.weight"].numpy().T,
+    )
+    # module. prefix tolerated
+    sd2 = {"module." + k: v for k, v in sd.items()}
+    params2 = ckpt.convert_joiner_state_dict(sd2, depth=2, use_viewdirs=True)
+    np.testing.assert_allclose(
+        np.asarray(params2["alpha_linear"]["b"]),
+        sd["nerf.alpha_linear.bias"].numpy(),
+    )
+
+
+# ---------------- background trainer ----------------
+
+
+def test_bkg_trainer_steps(scene, tmp_path):
+    cfg = small_cfg(tmp_path, "bkg")
+    spec = nerf_module.build_nerf_specs(cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": nerf_module.init_nerf_params(key, spec.nerf),
+        "fine": nerf_module.init_nerf_params(jax.random.fold_in(key, 1), spec.nerf),
+    }
+    trainer = NeRFTrainer(cfg, spec, params, scene, [0, 1, 3, 4], [2])
+    s0 = jax.tree_util.tree_leaves(trainer.state["params"])[0].copy()
+    trainer.state, metrics = trainer.step_fn(trainer.state)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["rgb_loss"]) > 0
+    trainer.state, metrics2 = trainer.step_fn(trainer.state)
+    assert trainer.iteration == 2
+    # params actually moved
+    s2 = jax.tree_util.tree_leaves(trainer.state["params"])[0]
+    assert not np.allclose(np.asarray(s0), np.asarray(s2))
+    # lr decays
+    assert float(metrics2["lr"]) < cfg.learning_rate + 1e-12
+
+
+def test_bkg_checkpoint_resume(scene, tmp_path):
+    cfg = small_cfg(tmp_path, "bkg")
+    spec = nerf_module.build_nerf_specs(cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": nerf_module.init_nerf_params(key, spec.nerf),
+        "fine": nerf_module.init_nerf_params(jax.random.fold_in(key, 1), spec.nerf),
+    }
+    trainer = NeRFTrainer(cfg, spec, params, scene, [0, 1], [2])
+    trainer.state, _ = trainer.step_fn(trainer.state)
+    trainer.save_model()
+    w_before = np.asarray(trainer.state["params"]["coarse"]["pts_linears"][0]["w"])
+
+    cfg2 = small_cfg(tmp_path, "bkg")
+    cfg2.resume = True
+    cfg2 = cfg2.finalize()
+    params2 = {
+        "coarse": nerf_module.init_nerf_params(jax.random.PRNGKey(9), spec.nerf),
+        "fine": nerf_module.init_nerf_params(jax.random.PRNGKey(10), spec.nerf),
+    }
+    trainer2 = NeRFTrainer(cfg2, spec, params2, scene, [0, 1], [2])
+    assert trainer2.iteration == 1
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["params"]["coarse"]["pts_linears"][0]["w"]),
+        w_before,
+    )
+
+
+# ---------------- human trainer ----------------
+
+
+@pytest.fixture(scope="module")
+def human_setup(scene, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("human_out")
+    cfg = small_cfg(tmp, "smpl_and_offset")
+    cfg.rays_per_batch = 64
+    from neuman_tpu.data_io.neuman import NeuManReader
+
+    body_model = NeuManReader._body_model()
+    spec = hn.build_human_nerf_spec(cfg)
+    poses = np.stack([s["pose"] for s in scene.smpls])
+    betas = np.stack([s["betas"] for s in scene.smpls])
+    aligns = np.tile(np.eye(4, dtype=np.float32)[None], (len(scene.captures), 1, 1))
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec, poses, betas, aligns
+    )
+    trainer = HumanNeRFTrainer(
+        cfg, spec, params, scene, list(range(8)), [8], body_model,
+        interval_comp=1.2,
+    )
+    return cfg, trainer
+
+
+def test_human_trainer_step(human_setup):
+    cfg, trainer = human_setup
+    state0_poses = np.asarray(trainer.state["params"]["poses"]).copy()
+    state0_betas = np.asarray(trainer.state["params"]["betas"]).copy()
+    state0_bkg = np.asarray(
+        trainer.state["params"]["coarse_bkg_net"]["pts_linears"][0]["w"]
+    ).copy()
+    state0_human = np.asarray(
+        trainer.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]
+    ).copy()
+    trainer.state, metrics = trainer.step_fn(trainer.state)
+    for name in ("fine_rgb_loss", "smpl_sym_reg", "smpl_shape_reg", "mask_loss",
+                 "sparsity_reg", "total_loss"):
+        assert np.isfinite(float(metrics[name])), name
+    # frozen params did not move; trainable did
+    np.testing.assert_allclose(
+        np.asarray(trainer.state["params"]["betas"]), state0_betas
+    )
+    np.testing.assert_allclose(
+        np.asarray(trainer.state["params"]["coarse_bkg_net"]["pts_linears"][0]["w"]),
+        state0_bkg,
+    )
+    assert not np.allclose(
+        np.asarray(trainer.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]),
+        state0_human,
+    )
+    # offset scale is zero before offset_delay
+    assert float(metrics["offset_scale"]) == 0.0
+
+
+def test_human_trainer_multiple_steps_stable(human_setup):
+    cfg, trainer = human_setup
+    for _ in range(2):
+        trainer.state, metrics = trainer.step_fn(trainer.state)
+        assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["dead_restart"]) == 0.0
+
+
+def test_turn_smpl_gradient_off():
+    # all parts visible -> full mask
+    mask = turn_smpl_gradient_off(np.arange(25))
+    assert mask.shape == (72,)
+    np.testing.assert_allclose(mask, 1.0)
+    # nothing visible -> listed joints zeroed
+    mask = turn_smpl_gradient_off(np.zeros(5, dtype=np.int64))
+    m = mask.reshape(24, 3)
+    for j in (1, 2, 4, 5, 7, 8, 10, 11, 12, 15, 16, 17, 18, 19, 20, 21, 22, 23):
+        np.testing.assert_allclose(m[j], 0.0)
+    np.testing.assert_allclose(m[0], 1.0)  # pelvis always trainable
