@@ -1,0 +1,109 @@
+"""Benchmark: fused PE+MLP+integrate ray-march throughput on one chip.
+
+Measures the BASELINE.json north-star metric — ray-samples/sec/chip through
+the full coarse->importance->fine render pipeline (the reference's hot path,
+render_utils.py:108-161, with the standard 8x256 MLPs and 63/27-dim
+positional encodings) — and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N / 1e7}
+
+Run with the default environment to target the real TPU chip. Use
+--dtype float32|bfloat16 (default bfloat16: fp32 params, bf16 matmuls with
+fp32 accumulation — the intended TPU compute mode) and --pallas to use the
+hand-fused Pallas ray-march kernel when available.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rays", type=int, default=32768)
+    parser.add_argument("--samples", type=int, default=128)
+    parser.add_argument("--importance", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--pallas", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import nerf as nerf_module
+    from neuman_tpu.ops import rays as ray_ops
+    from neuman_tpu.ops import volume
+    from neuman_tpu.options.config import NeuManConfig
+
+    cfg = NeuManConfig()  # 8x256, 10/4 freq bands — the reference network
+    spec = nerf_module.build_nerf_specs(cfg)
+    key = jax.random.PRNGKey(0)
+    coarse = nerf_module.init_nerf_params(key, spec.nerf)
+    fine = nerf_module.init_nerf_params(jax.random.fold_in(key, 1), spec.nerf)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    R, S, I = args.rays, args.samples, args.importance
+
+    if args.pallas:
+        from neuman_tpu.ops.pallas.raymarch import make_fused_render
+
+        render_chunk = make_fused_render(spec, S, I, compute_dtype)
+    else:
+        def render_chunk(coarse_p, fine_p, origins, dirs, near, far):
+            pts, sdirs, z = ray_ops.ray_to_samples(origins, dirs, near, far, S)
+            out = nerf_module.apply_joiner(
+                spec, coarse_p, pts, sdirs, compute_dtype=compute_dtype
+            )
+            rgb, _, _, w, _ = volume.raw2outputs(out, z, sdirs[:, 0, :])
+            f_pts, f_dirs, f_z = ray_ops.ray_to_importance_samples(
+                origins, dirs, z, w, I, det=True
+            )
+            f_out = nerf_module.apply_joiner(
+                spec, fine_p, f_pts, f_dirs, compute_dtype=compute_dtype
+            )
+            f_rgb, _, _, _, f_depth = volume.raw2outputs(
+                f_out, f_z, f_dirs[:, 0, :]
+            )
+            return f_rgb, f_depth
+
+    fn = jax.jit(render_chunk)
+
+    origins = jnp.zeros((R, 3)).at[:, 2].set(-2.0)
+    d = jax.random.normal(jax.random.fold_in(key, 2), (R, 3)) * 0.1 + jnp.array(
+        [0.0, 0, 1.0]
+    )
+    dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near = jnp.full((R, 1), 0.5)
+    far = jnp.full((R, 1), 4.0)
+
+    # compile + warmup (inputs vary per iteration so nothing can be elided
+    # or cached by the runtime; steady-state pipelined timing)
+    out = fn(coarse, fine, origins, dirs, near, far)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    outs = [
+        fn(coarse, fine, origins + i * 1e-5, dirs, near, far)
+        for i in range(args.iters)
+    ]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    # MLP-evaluated samples: S coarse + (S + I) fine per ray
+    samples_per_iter = R * (S + (S + I))
+    value = samples_per_iter * args.iters / dt
+    result = {
+        "metric": "ray_samples_per_sec_per_chip",
+        "value": float(value),
+        "unit": "ray-samples/s",
+        "vs_baseline": float(value / 1e7),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -116,8 +116,13 @@ def bkg_loss_fn(
     return coarse_rgb_loss, coarse_empty, fine_rgb_loss, fine_empty, aux
 
 
-def make_bkg_train_step(spec, opt, arrays, train_view_ids, optimizer):
-    """Build the jitted train step: state -> (state, metrics)."""
+def make_bkg_train_step(spec, opt, arrays, train_view_ids, optimizer, mesh=None):
+    """Build the jitted train step: state -> (state, metrics).
+
+    With `mesh`, the sampled ray batch is sharding-constrained along its
+    leading (ray) axis so the whole step partitions across the mesh's
+    `data` axis (params replicated, grad all-reduce implicit).
+    """
 
     train_view_ids = jnp.asarray(np.array(train_view_ids, np.int32))
 
@@ -131,6 +136,10 @@ def make_bkg_train_step(spec, opt, arrays, train_view_ids, optimizer):
             k_batch, arrays, train_view_ids, opt.rays_per_batch,
             use_fused_depth=opt.use_fused_depth,
         )
+        if mesh is not None:
+            from neuman_tpu.parallel.mesh import shard_leading_axis
+
+            batch = shard_leading_axis(batch, mesh, opt.data_axis)
         it_f = it.astype(jnp.float32)
         penalty_weight = opt.penalize_empty_space * jnp.maximum(
             0.0, 1.0 - it_f / 60000.0

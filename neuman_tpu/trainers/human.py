@@ -423,7 +423,8 @@ def lr_tree(params, anneals):
     return out
 
 
-def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx):
+def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx,
+                          mesh=None):
     train_view_ids = jnp.asarray(np.array(train_view_ids, np.int32))
     loss_fn = make_human_loss_fn(spec, opt, ctx)
     use_patch = opt.penalize_lpips > 0
@@ -440,6 +441,10 @@ def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx):
             opt.rays_per_batch, ratios=ratios, use_patch=use_patch,
             dilation=opt.dilation,
         )
+        if mesh is not None:
+            from neuman_tpu.parallel.mesh import shard_leading_axis
+
+            batch = shard_leading_axis(batch, mesh, opt.data_axis)
         anneals = compute_anneals(opt, it)
         keys = {
             "perturb": k_perturb, "offset": k_offset, "color": k_color,
