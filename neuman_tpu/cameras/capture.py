@@ -191,13 +191,13 @@ class Capture(RGBPinholeCapture):
         (ref: data_io/neuman_helper.py:78-86).
         """
         if self._fused_depth_map is None:
-            valid = (self.depth_map > 0) & (self.mask == 0)
-            x = self.mono_depth_map[valid]
-            y = self.depth_map[valid]
-            slope, intercept = np.polyfit(x, y, 1)
-            fused = self.depth_map.copy()
-            fused[~valid] = self.mono_depth_map[~valid] * slope + intercept
-            self._fused_depth_map = fused
+            from neuman_tpu import native_bridge
+
+            self._fused_depth_map = native_bridge.fused_depth(
+                self.depth_map.astype(np.float32),
+                self.mono_depth_map.astype(np.float32),
+                self.binary_mask.astype(np.uint8),
+            )
         return self._fused_depth_map
 
     def point_cloud_world(self):

@@ -86,15 +86,16 @@ def build_scene_arrays(scene, view_indices=None, need_depth=True):
         viewf.append(cap.frame_id["frame_id"] / cap.frame_id["total_frames"])
 
         border = getattr(cap, "border_mask", np.zeros_like(mask))
-        body = mask.reshape(-1) != 0
-        bord = border.reshape(-1) == 1
-        strict = (~body) & (~bord)
         # class-sorted permutation: body(0) | border(1) | strict bkg(2)
-        cls = np.where(body, 0, np.where(bord, 1, 2)).astype(np.int8)
-        perm = np.argsort(cls, kind="stable").astype(np.int32)
+        # (native counting sort when libneuman_host is built)
+        from neuman_tpu import native_bridge
+
+        perm, n_body, n_border = native_bridge.build_class_perm(
+            mask.astype(np.uint8), border.astype(np.uint8)
+        )
         perms.append(perm)
-        body_counts.append(int(body.sum()))
-        border_counts.append(int(bord.sum()))
+        body_counts.append(n_body)
+        border_counts.append(n_border)
         verts.append(np.asarray(scene.verts[i], dtype=np.float32))
 
     return RaySceneArrays(

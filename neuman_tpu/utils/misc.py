@@ -7,8 +7,8 @@ pipeline used was `verts_packed()/faces_packed()` (SURVEY.md §2.9).
 """
 
 import numpy as np
-from scipy import ndimage
 
+from neuman_tpu import native_bridge
 from neuman_tpu.models import smpl as smpl_module
 
 
@@ -24,9 +24,12 @@ def add_border_mask(scene, iterations=10):
     (ref: utils/utils.py:257-262)."""
     for cap in scene.captures:
         if iterations > 0:
-            cap.border_mask = ndimage.binary_dilation(
-                cap.binary_mask, iterations=iterations
-            ).astype(cap.binary_mask.dtype) - cap.binary_mask
+            cap.border_mask = (
+                native_bridge.binary_dilate(cap.binary_mask, iterations).astype(
+                    cap.binary_mask.dtype
+                )
+                - cap.binary_mask
+            )
         else:
             cap.border_mask = cap.binary_mask - cap.binary_mask
 
