@@ -1,19 +1,20 @@
-"""Planarized fused render path — the TPU performance formulation.
+"""Feature-major fused render path — the TPU performance formulation.
 
-The naive translation of NeRF math carries `[R, S, 3]`/`[N, 3]` tensors
-everywhere. On TPU those layouts are poison: the trailing dim of 3 pads to
-the 128-lane tile (42.7x memory/bandwidth blowup) whenever XLA materializes
-one (observed: 2GB temps for a 48MB logical array). This module reformulates
-the vanilla pipeline with xyz *planarized* — three `[R, S]` arrays — so
-every intermediate is a well-tiled 2D array; channels only assemble into a
-`[R*S, C>=63]` matrix right at the MLP input (63->128 padding, ~2x, fine)
-and into tiny `[R, 3]` outputs at the very end.
+The naive translation of NeRF math carries `[R, S, 3]` / `[N, small]`
+tensors everywhere. On TPU any materialized array with a small trailing
+(lane) dimension pads to the 128-lane tile: observed 42.7x (dim 3) and
+128x (dim 1) memory/bandwidth blowups, OOMing modest ray batches. This
+module reformulates the pipeline **feature-major**: activations are
+`[C, N]` (features in sublanes, samples in lanes), so every intermediate —
+positional-encoding rows, MLP activations, sigma/rgb planes — is a
+perfectly tiled 2D array. Weights are transposed at trace time (cheap) and
+matmuls run as `W.T @ X` on the MXU in `compute_dtype` (bfloat16) with f32
+accumulation.
 
-Extra wins baked in:
-- view-direction PE and its first matmul are computed per-ray (`[R, 27]`)
-  and broadcast across samples, not per-sample (27x fewer transcendentals +
-  a 128x smaller matmul for constant-dir rays);
-- all matmuls run in `compute_dtype` (bfloat16) with f32 accumulation;
+Extra wins:
+- view-direction PE + its first matmul computed per-ray (`[W/2, R]`) and
+  broadcast across samples inside a fused add (27x fewer transcendentals,
+  no [W/2, N] materialization);
 - numerically identical to the reference path (models/nerf.apply_joiner +
   ops/volume.raw2outputs) — parity-tested in tests/test_fused.py.
 """
@@ -28,98 +29,96 @@ from neuman_tpu.models.embedder import EmbedderSpec
 from neuman_tpu.models.nerf import JoinerSpec, NeRFSpec
 
 
-def _pe_columns(spec: EmbedderSpec, axes):
-    """Positional-encoding feature columns for planarized inputs.
+def pe_rows(spec: EmbedderSpec, axes_cn):
+    """Positional-encoding feature ROWS for feature-major input.
 
-    axes: list of 3 same-shape arrays (x, y, z). Returns a list of arrays in
-    the exact column order of models.embedder.embed.
+    axes_cn: [3, ...] (x, y, z stacked on axis 0). Returns [C, ...] with the
+    row order matching models.embedder.embed's column order.
     """
     if spec.mapping == "posenc":
-        cols = list(axes) if spec.include_input else []
+        blocks = [axes_cn] if spec.include_input else []
         for f in spec.freq_bands:
-            for fn in (jnp.sin, jnp.cos):
-                for a in axes:
-                    cols.append(fn(a * f))
-        return cols
+            blocks.append(jnp.sin(axes_cn * f))
+            blocks.append(jnp.cos(axes_cn * f))
+        return jnp.concatenate(blocks, axis=0)
     elif spec.mapping == "rotate":
-        bvals = np.array(spec.bvals).reshape(-1, 3)
-        projs = [
-            bvals[j, 0] * axes[0] + bvals[j, 1] * axes[1] + bvals[j, 2] * axes[2]
-            for j in range(bvals.shape[0])
-        ]
-        cols = []
-        cols.extend(jnp.sin(p) for p in projs)
-        cols.extend(jnp.cos(p) for p in projs)
+        bvals = jnp.asarray(
+            np.array(spec.bvals, dtype=np.float32).reshape(-1, 3)
+        )
+        proj = jnp.tensordot(bvals, axes_cn, axes=[[1], [0]])  # [F, ...]
+        blocks = [jnp.sin(proj), jnp.cos(proj)]
         if spec.include_input:
-            cols = list(axes) + cols
-        return cols
+            blocks = [axes_cn] + blocks
+        return jnp.concatenate(blocks, axis=0)
     raise ValueError(spec.mapping)
 
 
-def _stack_cols(cols, compute_dtype):
-    """columns of shape [..] -> [prod(..), C] matrix in compute dtype."""
-    x = jnp.stack([c.astype(compute_dtype) for c in cols], axis=-1)
-    return x.reshape(-1, len(cols))
-
-
-def _linear(p, x, compute_dtype):
-    y = jnp.dot(
-        x, p["w"].astype(compute_dtype), preferred_element_type=jnp.float32
+def _dot_t(w, x, compute_dtype):
+    """w: [I, O] (storage layout); x: [I, N] -> [O, N] f32."""
+    return jnp.dot(
+        w.T.astype(compute_dtype), x.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
 
 
 def mlp_planar(
     joiner: JoinerSpec, params, pts_axes, dir_axes, compute_dtype=jnp.bfloat16,
     dirs_per_ray=True,
 ):
-    """NeRF MLP on planarized inputs.
+    """NeRF MLP on planarized inputs (feature-major internals).
 
     pts_axes: 3 x [R, S]; dir_axes: 3 x [R] (dirs_per_ray) or 3 x [R, S].
-    Returns (sigma [R, S], rgb 3 x [R, S]) pre-activation (raw outputs).
+    Returns (sigma [R, S], rgb 3 x [R, S]) raw (pre-activation) outputs.
     """
     nspec = joiner.nerf
     r, s = pts_axes[0].shape
+    n = r * s
 
-    pe = _stack_cols(_pe_columns(joiner.pos_pe, pts_axes), compute_dtype)
+    axes_cn = jnp.stack([a.reshape(-1) for a in pts_axes], axis=0)  # [3, N]
+    pe = pe_rows(joiner.pos_pe, axes_cn).astype(compute_dtype)  # [C, N]
     h = pe
     for i, p in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_linear(p, h.astype(compute_dtype), compute_dtype))
+        h = jax.nn.relu(_dot_t(p["w"], h, compute_dtype) + p["b"][:, None])
         if i in nspec.skips:
-            h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=-1)
+            h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
 
     if nspec.use_viewdirs:
-        alpha = _linear(params["alpha_linear"], h.astype(compute_dtype), compute_dtype)
-        feature = _linear(
-            params["feature_linear"], h.astype(compute_dtype), compute_dtype
-        )
-        w_views = params["views_linears"][0]
+        alpha = (
+            _dot_t(params["alpha_linear"]["w"], h, compute_dtype)
+            + params["alpha_linear"]["b"][:, None]
+        )  # [1, N]
+        feature = (
+            _dot_t(params["feature_linear"]["w"], h, compute_dtype)
+            + params["feature_linear"]["b"][:, None]
+        )  # [W, N]
+        wv = params["views_linears"][0]
         width = nspec.width
-        w_feat = w_views["w"][:width]
-        w_dirs = w_views["w"][width:]
-        feat_part = jnp.dot(
-            feature.astype(compute_dtype),
-            w_feat.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        dir_pe = _stack_cols(_pe_columns(joiner.dir_pe, dir_axes), compute_dtype)
-        dir_part = jnp.dot(
-            dir_pe, w_dirs.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        feat_part = _dot_t(wv["w"][:width], feature, compute_dtype)  # [W/2, N]
+        d_cn = jnp.stack([a.reshape(-1) for a in dir_axes], axis=0)
+        dir_pe = pe_rows(joiner.dir_pe, d_cn).astype(compute_dtype)
+        dir_part = _dot_t(wv["w"][width:], dir_pe, compute_dtype)
         if dirs_per_ray:
-            # [R, W/2] broadcast over samples
-            dir_part = jnp.repeat(dir_part.reshape(r, 1, -1), s, axis=1).reshape(
-                r * s, -1
-            )
-        h2 = jax.nn.relu(feat_part + dir_part + w_views["b"])
-        rgb = _linear(params["rgb_linear"], h2.astype(compute_dtype), compute_dtype)
-        sigma = alpha[:, 0].reshape(r, s)
-        rgb_c = [rgb[:, c].reshape(r, s) for c in range(3)]
+            # [W/2, R] broadcast over samples inside the fused add
+            h2 = jax.nn.relu(
+                feat_part.reshape(-1, r, s)
+                + dir_part[:, :, None]
+                + wv["b"][:, None, None]
+            ).reshape(-1, n)
+        else:
+            h2 = jax.nn.relu(feat_part + dir_part + wv["b"][:, None])
+        rgb = (
+            _dot_t(params["rgb_linear"]["w"], h2, compute_dtype)
+            + params["rgb_linear"]["b"][:, None]
+        )  # [3, N]
+        sigma = alpha.reshape(r, s)
+        rgb_c = [rgb[c].reshape(r, s) for c in range(3)]
     else:
-        out = _linear(params["output_linear"], h.astype(compute_dtype), compute_dtype)
-        sigma = out[:, 3].reshape(r, s)
-        rgb_c = [out[:, c].reshape(r, s) for c in range(3)]
+        out = (
+            _dot_t(params["output_linear"]["w"], h, compute_dtype)
+            + params["output_linear"]["b"][:, None]
+        )
+        sigma = out[3].reshape(r, s)
+        rgb_c = [out[c].reshape(r, s) for c in range(3)]
     return sigma, rgb_c
 
 

@@ -1,0 +1,197 @@
+"""Pallas fused ray-march kernel: PE + NeRF MLP in one VMEM-resident pass.
+
+The whole 8x256 MLP (weights ~600KB bf16) fits VMEM, so a tile of samples
+runs positional encoding and every layer without touching HBM between
+layers — HBM traffic reduces to the planar sample coordinates in (3 x
+[R, S] tiles) and one [4, N] raw-output plane (sigma, r, g, b rows).
+
+Layout follows ops/fused.py's feature-major formulation: activations are
+[C, TN] inside the kernel (features in sublanes, samples in lanes), weights
+are passed pre-transposed, and the view-direction head uses the per-ray
+factorization (`dir_part = W_dirs.T @ dir_pe`, [W/2, R], broadcast across
+samples inside the kernel).
+
+Falls back to interpret mode off-TPU so tests run on CPU.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neuman_tpu.models.nerf import JoinerSpec
+from neuman_tpu.ops import fused
+
+
+def _weights_t(params, use_viewdirs, width, compute_dtype):
+    """Ordered list of (transposed) weight/bias arrays for the kernel."""
+    ws = []
+    for p in params["pts_linears"]:
+        ws.extend([p["w"].T.astype(compute_dtype), p["b"]])
+    if use_viewdirs:
+        ws.extend(
+            [params["alpha_linear"]["w"].T.astype(compute_dtype),
+             params["alpha_linear"]["b"]]
+        )
+        ws.extend(
+            [params["feature_linear"]["w"].T.astype(compute_dtype),
+             params["feature_linear"]["b"]]
+        )
+        wv = params["views_linears"][0]
+        ws.extend([wv["w"][:width].T.astype(compute_dtype), wv["b"]])
+        ws.extend(
+            [params["rgb_linear"]["w"].T.astype(compute_dtype),
+             params["rgb_linear"]["b"]]
+        )
+    else:
+        ws.extend(
+            [params["output_linear"]["w"].T.astype(compute_dtype),
+             params["output_linear"]["b"]]
+        )
+    return ws
+
+
+def nerf_mlp_pallas(
+    spec: JoinerSpec, params, px, py, pz, dir_part, compute_dtype=jnp.bfloat16,
+    rays_per_tile=8, interpret=None,
+):
+    """Fused PE+MLP over planar sample coordinates.
+
+    px/py/pz: [R, S]; dir_part: [W/2, R] precomputed per-ray dir projection
+    (from `dir_projection`). Returns (sigma [R, S], rgb 3 x [R, S]).
+    """
+    nspec = spec.nerf
+    assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
+    r, s = px.shape
+    rt = min(rays_per_tile, r)
+    while r % rt:
+        rt -= 1
+    tn = rt * s
+    n = r * s
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    weights = _weights_t(params, True, nspec.width, compute_dtype)
+    depth = nspec.depth
+    skips = nspec.skips
+
+    def kernel(px_ref, py_ref, pz_ref, dirp_ref, *refs):
+        wrefs = refs[: len(weights)]
+        out_ref = refs[len(weights)]
+        axes = jnp.stack(
+            [px_ref[:].reshape(-1), py_ref[:].reshape(-1), pz_ref[:].reshape(-1)],
+            axis=0,
+        )  # [3, TN]
+        pe = fused.pe_rows(spec.pos_pe, axes).astype(compute_dtype)  # [C, TN]
+
+        h = pe
+        wi = 0
+        for i in range(depth):
+            wt = wrefs[wi][:]
+            b = wrefs[wi + 1][:]
+            wi += 2
+            h = jnp.dot(
+                wt, h.astype(compute_dtype), preferred_element_type=jnp.float32
+            ) + b[:, None]
+            h = jnp.maximum(h, 0.0)
+            if i in skips:
+                h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
+
+        wt_a, b_a = wrefs[wi][:], wrefs[wi + 1][:]
+        wt_f, b_f = wrefs[wi + 2][:], wrefs[wi + 3][:]
+        wt_vf, b_v = wrefs[wi + 4][:], wrefs[wi + 5][:]
+        wt_rgb, b_rgb = wrefs[wi + 6][:], wrefs[wi + 7][:]
+
+        alpha = jnp.dot(
+            wt_a, h.astype(compute_dtype), preferred_element_type=jnp.float32
+        ) + b_a[:, None]  # [1, TN]
+        feature = jnp.dot(
+            wt_f, h.astype(compute_dtype), preferred_element_type=jnp.float32
+        ) + b_f[:, None]  # [W, TN]
+        feat_part = jnp.dot(
+            wt_vf, feature.astype(compute_dtype), preferred_element_type=jnp.float32
+        )  # [W/2, TN]
+        half = feat_part.shape[0]
+        dirp = dirp_ref[:]  # [W/2, RT]
+        h2 = jnp.maximum(
+            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[:, None, None],
+            0.0,
+        ).reshape(half, tn)
+        rgb = jnp.dot(
+            wt_rgb, h2.astype(compute_dtype), preferred_element_type=jnp.float32
+        ) + b_rgb[:, None]  # [3, TN]
+        out_ref[:] = jnp.concatenate([alpha, rgb], axis=0)  # [4, TN]
+
+    grid = (r // rt,)
+    plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dirp_spec = pl.BlockSpec(
+        (dir_part.shape[0], rt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    weight_specs = [
+        pl.BlockSpec(
+            w.shape,
+            (lambda nd: lambda i: (0,) * nd)(w.ndim),
+            memory_space=pltpu.VMEM,
+        )
+        for w in weights
+    ]
+    out_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[plane_spec] * 3 + [dirp_spec] + weight_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        interpret=interpret,
+    )(px, py, pz, dir_part, *weights)
+    sigma = out[0].reshape(r, s)
+    rgb = [out[1 + c].reshape(r, s) for c in range(3)]
+    return sigma, rgb
+
+
+def dir_projection(spec: JoinerSpec, params, dirs, compute_dtype=jnp.bfloat16):
+    """Per-ray W_dirs.T @ dir_pe: dirs [R, 3] -> [W/2, R] f32."""
+    width = spec.nerf.width
+    w_dirs = params["views_linears"][0]["w"][width:]
+    d_cn = jnp.stack([dirs[:, a] for a in range(3)], axis=0)  # [3, R]
+    dir_pe = fused.pe_rows(spec.dir_pe, d_cn).astype(compute_dtype)
+    return jnp.dot(
+        w_dirs.T.astype(compute_dtype), dir_pe,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def make_fused_render(spec: JoinerSpec, samples_per_ray, importance_samples_per_ray,
+                      compute_dtype=jnp.bfloat16, rays_per_tile=8):
+    """Render chunk using the Pallas MLP: signature matches bench.py."""
+
+    def render_chunk(coarse_p, fine_p, origins, dirs, near, far):
+        o_ax = [origins[:, a] for a in range(3)]
+        d_ax = [dirs[:, a] for a in range(3)]
+        dir_norm = jnp.sqrt(d_ax[0] ** 2 + d_ax[1] ** 2 + d_ax[2] ** 2)
+
+        z = fused.sample_z(near, far, samples_per_ray)
+        planes = [o_ax[a][:, None] + d_ax[a][:, None] * z for a in range(3)]
+        dirp_c = dir_projection(spec, coarse_p, dirs, compute_dtype)
+        sigma, rgb_c = nerf_mlp_pallas(
+            spec, coarse_p, *planes, dirp_c, compute_dtype, rays_per_tile
+        )
+        rgb, _, _, weights, depth = fused.integrate_planar(
+            sigma, rgb_c, z, dir_norm
+        )
+        z_f = fused.importance_z(z, weights, importance_samples_per_ray, det=True)
+        planes = [o_ax[a][:, None] + d_ax[a][:, None] * z_f for a in range(3)]
+        dirp_f = dir_projection(spec, fine_p, dirs, compute_dtype)
+        sigma, rgb_c = nerf_mlp_pallas(
+            spec, fine_p, *planes, dirp_f, compute_dtype, rays_per_tile
+        )
+        rgb, _, _, weights, depth = fused.integrate_planar(
+            sigma, rgb_c, z_f, dir_norm
+        )
+        return rgb, depth
+
+    return render_chunk

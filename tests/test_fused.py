@@ -30,14 +30,14 @@ def random_rays(r=16, key=0):
     return origins, dirs, near, far
 
 
-def test_pe_columns_match_embed():
+def test_pe_rows_match_embed():
     for mapping in ("posenc", "rotate"):
         spec = emb.make_embedder(3, 5, 6, True, True, mapping=mapping)
         x = jax.random.uniform(jax.random.PRNGKey(0), (7, 11, 3)) - 0.5
-        ref = emb.embed(spec, x)
-        axes = [x[..., a] for a in range(3)]
-        cols = fused._pe_columns(spec, axes)
-        got = jnp.stack(cols, axis=-1)
+        ref = emb.embed(spec, x)  # [..., C]
+        axes_cn = jnp.stack([x[..., a].reshape(-1) for a in range(3)], axis=0)
+        got = fused.pe_rows(spec, axes_cn)  # [C, N]
+        got = jnp.moveaxis(got, 0, -1).reshape(ref.shape)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
