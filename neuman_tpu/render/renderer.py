@@ -113,6 +113,7 @@ def render_vanilla(
     spec, coarse_params, cap, fine_params=None, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     near_far_source="bkg", return_depth=False, ablate_nerft=False,
+    compute_dtype_name="bfloat16",
 ):
     origins, dirs = _cap_rays(cap)
     total = origins.shape[0]
@@ -123,6 +124,27 @@ def render_vanilla(
         if ablate_nerft
         else 0.0
     )
+    if not ablate_nerft:
+        # feature-major fused path (ops/fused.py) — the performance
+        # formulation; the NeRF-T time-channel ablation falls back to the
+        # reference-shaped chunk below.
+        from neuman_tpu.ops.fused import fused_vanilla_render
+
+        fn = lambda o, d: fused_vanilla_render(
+            spec, coarse_params,
+            fine_params if fine_params is not None else coarse_params,
+            o, d, near, far,
+            samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+            use_fine=fine_params is not None,
+        )
+        rgb, depth = _chunked(fn, [origins, dirs], total, rays_per_batch)
+        rgb = np.asarray(rgb).reshape(*cap.shape, -1)
+        depth = np.asarray(depth).reshape(*cap.shape)
+        if return_depth:
+            return rgb, depth
+        return rgb
     fn = lambda o, d: _vanilla_chunk(
         spec, coarse_params,
         fine_params if fine_params is not None else coarse_params,
