@@ -29,28 +29,20 @@ from neuman_tpu.ops import fused
 def _weights_t(params, use_viewdirs, width, compute_dtype):
     """Ordered list of (transposed) weight/bias arrays for the kernel."""
     ws = []
+
+    def add(w, b):
+        ws.extend([w.T.astype(compute_dtype), b.reshape(1, -1)])
+
     for p in params["pts_linears"]:
-        ws.extend([p["w"].T.astype(compute_dtype), p["b"]])
+        add(p["w"], p["b"])
     if use_viewdirs:
-        ws.extend(
-            [params["alpha_linear"]["w"].T.astype(compute_dtype),
-             params["alpha_linear"]["b"]]
-        )
-        ws.extend(
-            [params["feature_linear"]["w"].T.astype(compute_dtype),
-             params["feature_linear"]["b"]]
-        )
+        add(params["alpha_linear"]["w"], params["alpha_linear"]["b"])
+        add(params["feature_linear"]["w"], params["feature_linear"]["b"])
         wv = params["views_linears"][0]
-        ws.extend([wv["w"][:width].T.astype(compute_dtype), wv["b"]])
-        ws.extend(
-            [params["rgb_linear"]["w"].T.astype(compute_dtype),
-             params["rgb_linear"]["b"]]
-        )
+        add(wv["w"][:width], wv["b"])
+        add(params["rgb_linear"]["w"], params["rgb_linear"]["b"])
     else:
-        ws.extend(
-            [params["output_linear"]["w"].T.astype(compute_dtype),
-             params["output_linear"]["b"]]
-        )
+        add(params["output_linear"]["w"], params["output_linear"]["b"])
     return ws
 
 
@@ -60,7 +52,7 @@ def nerf_mlp_pallas(
 ):
     """Fused PE+MLP over planar sample coordinates.
 
-    px/py/pz: [R, S]; dir_part: [W/2, R] precomputed per-ray dir projection
+    px/py/pz: [R, S]; dir_part: [R, W/2] precomputed per-ray dir projection
     (from `dir_projection`). Returns (sigma [R, S], rgb 3 x [R, S]).
     """
     nspec = spec.nerf
@@ -95,7 +87,7 @@ def nerf_mlp_pallas(
             wi += 2
             h = jnp.dot(
                 wt, h.astype(compute_dtype), preferred_element_type=jnp.float32
-            ) + b[:, None]
+            ) + b[0][:, None]
             h = jnp.maximum(h, 0.0)
             if i in skips:
                 h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
@@ -107,28 +99,28 @@ def nerf_mlp_pallas(
 
         alpha = jnp.dot(
             wt_a, h.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_a[:, None]  # [1, TN]
+        ) + b_a[0][:, None]  # [1, TN]
         feature = jnp.dot(
             wt_f, h.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_f[:, None]  # [W, TN]
+        ) + b_f[0][:, None]  # [W, TN]
         feat_part = jnp.dot(
             wt_vf, feature.astype(compute_dtype), preferred_element_type=jnp.float32
         )  # [W/2, TN]
         half = feat_part.shape[0]
-        dirp = dirp_ref[:]  # [W/2, RT]
+        dirp = dirp_ref[:].T  # [RT, W/2] block -> [W/2, RT]
         h2 = jnp.maximum(
-            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[:, None, None],
+            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[0][:, None, None],
             0.0,
         ).reshape(half, tn)
         rgb = jnp.dot(
             wt_rgb, h2.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_rgb[:, None]  # [3, TN]
+        ) + b_rgb[0][:, None]  # [3, TN]
         out_ref[:] = jnp.concatenate([alpha, rgb], axis=0)  # [4, TN]
 
     grid = (r // rt,)
     plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dirp_spec = pl.BlockSpec(
-        (dir_part.shape[0], rt), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rt, dir_part.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     weight_specs = [
         pl.BlockSpec(
@@ -154,15 +146,15 @@ def nerf_mlp_pallas(
 
 
 def dir_projection(spec: JoinerSpec, params, dirs, compute_dtype=jnp.bfloat16):
-    """Per-ray W_dirs.T @ dir_pe: dirs [R, 3] -> [W/2, R] f32."""
+    """Per-ray dir_pe @ W_dirs: dirs [R, 3] -> [R, W/2] f32."""
     width = spec.nerf.width
     w_dirs = params["views_linears"][0]["w"][width:]
     d_cn = jnp.stack([dirs[:, a] for a in range(3)], axis=0)  # [3, R]
-    dir_pe = fused.pe_rows(spec.dir_pe, d_cn).astype(compute_dtype)
+    dir_pe = fused.pe_rows(spec.dir_pe, d_cn).astype(compute_dtype)  # [C, R]
     return jnp.dot(
         w_dirs.T.astype(compute_dtype), dir_pe,
         preferred_element_type=jnp.float32,
-    )
+    ).T  # [R, W/2]
 
 
 def make_fused_render(spec: JoinerSpec, samples_per_ray, importance_samples_per_ray,
