@@ -28,6 +28,7 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--naive", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -51,7 +52,9 @@ def main():
         from neuman_tpu.ops.pallas.raymarch import make_fused_render
 
         render_chunk = make_fused_render(spec, S, I, compute_dtype)
-    else:
+    elif args.naive:
+        # reference-shaped formulation ([.., 3]-last layouts); kept for
+        # comparison — OOMs beyond ~8k rays from lane-padding blowup
         def render_chunk(coarse_p, fine_p, origins, dirs, near, far):
             pts, sdirs, z = ray_ops.ray_to_samples(origins, dirs, near, far, S)
             out = nerf_module.apply_joiner(
@@ -68,6 +71,16 @@ def main():
                 f_out, f_z, f_dirs[:, 0, :]
             )
             return f_rgb, f_depth
+    else:
+        # feature-major fused path (ops/fused.py) — the default perf path
+        from neuman_tpu.ops.fused import fused_vanilla_render
+
+        def render_chunk(coarse_p, fine_p, origins, dirs, near, far):
+            return fused_vanilla_render(
+                spec, coarse_p, fine_p, origins, dirs, near, far,
+                samples_per_ray=S, importance_samples_per_ray=I,
+                compute_dtype_name=args.dtype,
+            )
 
     fn = jax.jit(render_chunk)
 
@@ -79,18 +92,21 @@ def main():
     near = jnp.full((R, 1), 0.5)
     far = jnp.full((R, 1), 4.0)
 
-    # compile + warmup (inputs vary per iteration so nothing can be elided
-    # or cached by the runtime; steady-state pipelined timing)
-    out = fn(coarse, fine, origins, dirs, near, far)
-    jax.block_until_ready(out)
+    # compile + warmup; inputs vary per iteration and every result is read
+    # back to the host (block_until_ready is not a reliable completion
+    # barrier through the axon relay), so the timing is honest end-to-end
+    import numpy as _np
 
-    t0 = time.time()
-    outs = [
-        fn(coarse, fine, origins + i * 1e-5, dirs, near, far)
-        for i in range(args.iters)
-    ]
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    out = fn(coarse, fine, origins, dirs, near, far)
+    _np.asarray(out[0])
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        out = fn(coarse, fine, origins + (i + 1) * 1e-5, dirs, near, far)
+        _np.asarray(out[0])
+        times.append(time.time() - t0)
+    dt = float(_np.median(times)) * args.iters
 
     # MLP-evaluated samples: S coarse + (S + I) fine per ray
     samples_per_iter = R * (S + (S + I))
