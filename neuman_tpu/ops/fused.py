@@ -54,7 +54,7 @@ def pe_rows(spec: EmbedderSpec, axes_cn):
 
 
 def _dot_t(w, x, compute_dtype):
-    """w: [I, O] (storage layout); x: [I, N] -> [O, N] f32."""
+    """w: [I, O] (storage layout); x: [I, N] -> [O, N] f32 accumulation."""
     return jnp.dot(
         w.T.astype(compute_dtype), x.astype(compute_dtype),
         preferred_element_type=jnp.float32,
@@ -78,9 +78,13 @@ def mlp_planar(
     pe = pe_rows(joiner.pos_pe, axes_cn).astype(compute_dtype)  # [C, N]
     h = pe
     for i, p in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_dot_t(p["w"], h, compute_dtype) + p["b"][:, None])
+        # store activations in compute dtype (f32 accumulation stays inside
+        # the matmul) — halves the HBM traffic of the layer chain
+        h = jax.nn.relu(
+            _dot_t(p["w"], h, compute_dtype) + p["b"][:, None]
+        ).astype(compute_dtype)
         if i in nspec.skips:
-            h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
+            h = jnp.concatenate([pe, h], axis=0)
 
     if nspec.use_viewdirs:
         alpha = (
