@@ -133,6 +133,10 @@ class NeuManConfig:
     tgt_size: Optional[Tuple[int, int]] = None
     render_size: Optional[Tuple[int, int]] = None
     motion_name: str = "speedvault"
+    mocap_path: Optional[str] = None  # override the per-scene mocap presets
+    mocap_start: int = 0
+    mocap_end: int = -1
+    mocap_skip: int = 1
 
     def finalize(self):
         """Derived fields + invariants (ref: train.py:237-258)."""

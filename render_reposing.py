@@ -67,7 +67,13 @@ def read_human_poses(opt, scene, mocap_path=None, start=None, end=None, skip=Non
     from neuman_tpu.models import smpl as smpl_module
 
     if mocap_path is None:
-        mocap_path, start, end, skip = get_mocap_path(opt)
+        if opt.mocap_path is not None:
+            mocap_path = opt.mocap_path
+            start, end, skip = opt.mocap_start, opt.mocap_end, opt.mocap_skip
+            if end == -1:
+                end = None
+        else:
+            mocap_path, start, end, skip = get_mocap_path(opt)
     motions = np.load(mocap_path)
     poses = motions["poses"][start:end:skip]
     poses = poses[:, :72]
