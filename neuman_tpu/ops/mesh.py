@@ -131,6 +131,118 @@ def closest_point_on_triangles(p, a, b, c):
 
 
 # ---------------------------------------------------------------------------
+# planarized coordinate-column math
+#
+# Any materialized [N, C, 3]-shaped gather pads its 3-lane tail to the
+# 128-lane tile (42x memory/bandwidth). The KNN fast path therefore carries
+# every 3-vector as a tuple of coordinate columns ([N, C] or [N] arrays) —
+# the same trick as ops/fused.py, applied to the Ericson region test,
+# barycentric weights, and the affine transform blend/inverse.
+# ---------------------------------------------------------------------------
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _madd3(a, s, b):
+    """a + s * b, per coordinate."""
+    return (a[0] + s * b[0], a[1] + s * b[1], a[2] + s * b[2])
+
+
+def _where3(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def closest_point_on_triangles_planar(p, a, b, c):
+    """Planarized Ericson closest-point: p/a/b/c are (x, y, z) column tuples
+    of identical shapes. Returns the closest point as a column tuple."""
+    ab = _sub3(b, a)
+    ac = _sub3(c, a)
+    ap = _sub3(p, a)
+    d1 = _dot3(ab, ap)
+    d2 = _dot3(ac, ap)
+    bp = _sub3(p, b)
+    d3 = _dot3(ab, bp)
+    d4 = _dot3(ac, bp)
+    cp = _sub3(p, c)
+    d5 = _dot3(ab, cp)
+    d6 = _dot3(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    in_vert_a = (d1 <= 0) & (d2 <= 0)
+    in_vert_b = (d3 >= 0) & (d4 <= d3)
+    in_vert_c = (d6 >= 0) & (d5 <= d6)
+    in_edge_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_edge_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    in_edge_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    safe = lambda den: jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    v_ab = d1 / safe(d1 - d3)
+    w_ac = d2 / safe(d2 - d6)
+    w_bc = (d4 - d3) / safe((d4 - d3) + (d5 - d6))
+    denom = safe(va + vb + vc)
+    v_int = vb / denom
+    w_int = vc / denom
+
+    pt_ab = _madd3(a, v_ab, ab)
+    pt_ac = _madd3(a, w_ac, ac)
+    pt_bc = _madd3(b, w_bc, _sub3(c, b))
+    pt_int = _madd3(_madd3(a, v_int, ab), w_int, ac)
+
+    out = pt_int
+    out = _where3(in_edge_bc, pt_bc, out)
+    out = _where3(in_edge_ac, pt_ac, out)
+    out = _where3(in_edge_ab, pt_ab, out)
+    out = _where3(in_vert_c, c, out)
+    out = _where3(in_vert_b, b, out)
+    out = _where3(in_vert_a, a, out)
+    return out
+
+
+def barycentric_planar(closest, v0, v1, v2):
+    """Differentiable barycentric weights on column tuples
+    (same formulation as `barycentric_coordinates`). Returns (u, v, w)."""
+    v0v1 = _sub3(v1, v0)
+    v0v2 = _sub3(v2, v0)
+    v1v2 = _sub3(v2, v1)
+    v2v0 = _sub3(v0, v2)
+    v1p = _sub3(closest, v1)
+    v2p = _sub3(closest, v2)
+    n = _cross3(v0v1, v0v2)
+    denom = _dot3(n, n)
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    u = _dot3(n, _cross3(v1v2, v1p)) / denom
+    v = _dot3(n, _cross3(v2v0, v2p)) / denom
+    return u, v, 1.0 - u - v
+
+
+def _gather_corner_coords(verts, faces, corner, idx):
+    """verts [V, 3]; faces [F, 3]; idx [..] face ids -> (x, y, z) columns."""
+    vid = faces[:, corner][idx]
+    return (verts[:, 0][vid], verts[:, 1][vid], verts[:, 2][vid]), vid
+
+
+# ---------------------------------------------------------------------------
 # point -> mesh closest queries
 # ---------------------------------------------------------------------------
 
@@ -152,6 +264,42 @@ def _closest_over_faces(points, verts, face_subset, valid_mask=None):
     return d2[n, idx], idx, cp[n, idx]
 
 
+def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
+    """KNN-accelerated closest point with planarized internals.
+
+    points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
+    an (x, y, z) column tuple of [N] arrays). No [N, C, 3]-shaped
+    intermediate is ever materialized.
+    """
+    faces = topology.faces
+    n_pts = points.shape[0]
+    # [N, V] squared distances via matmul (MXU), then top-k verts.
+    v2 = jnp.sum(verts * verts, axis=-1)[None, :]
+    p2 = jnp.sum(points * points, axis=-1)[:, None]
+    d2_pv = p2 + v2 - 2.0 * (points @ verts.T)
+    _, knn_idx = jax.lax.top_k(-d2_pv, k)  # [N, k]
+    cand = topology.incidence[knn_idx].reshape(n_pts, -1)  # [N, C]
+    valid = cand >= 0
+    cand_safe = jnp.maximum(cand, 0)
+
+    p_cols = (points[:, 0:1], points[:, 1:2], points[:, 2:3])  # [N, 1]
+    a, _ = _gather_corner_coords(verts, faces, 0, cand_safe)  # [N, C] x3
+    b, _ = _gather_corner_coords(verts, faces, 1, cand_safe)
+    c, _ = _gather_corner_coords(verts, faces, 2, cand_safe)
+    cp = closest_point_on_triangles_planar(p_cols, a, b, c)
+    d2 = (
+        (cp[0] - p_cols[0]) ** 2
+        + (cp[1] - p_cols[1]) ** 2
+        + (cp[2] - p_cols[2]) ** 2
+    )
+    d2 = jnp.where(valid, d2, jnp.inf)
+    sel = jnp.argmin(d2, axis=-1)
+    rows = jnp.arange(n_pts)
+    f_id = cand_safe[rows, sel].astype(jnp.int32)
+    closest = (cp[0][rows, sel], cp[1][rows, sel], cp[2][rows, sel])
+    return d2[rows, sel], f_id, closest
+
+
 def point_mesh_closest(points, verts, topology: MeshTopology, k=8, method="knn"):
     """Closest point on a triangle mesh for each query point.
 
@@ -167,19 +315,8 @@ def point_mesh_closest(points, verts, topology: MeshTopology, k=8, method="knn")
         d2, local, cp = _closest_over_faces(points, verts, face_subset)
         return d2, local.astype(jnp.int32), cp
     elif method == "knn":
-        # [N, V] squared distances via matmul (MXU), then top-k verts.
-        v2 = jnp.sum(verts * verts, axis=-1)[None, :]
-        p2 = jnp.sum(points * points, axis=-1)[:, None]
-        d2_pv = p2 + v2 - 2.0 * (points @ verts.T)
-        _, knn_idx = jax.lax.top_k(-d2_pv, k)  # [N, k]
-        cand = topology.incidence[knn_idx]  # [N, k, D]
-        cand = cand.reshape(points.shape[0], -1)  # [N, k*D]
-        valid = cand >= 0
-        cand_safe = jnp.maximum(cand, 0)
-        face_subset = faces[cand_safe]  # [N, C, 3]
-        d2, local, cp = _closest_over_faces(points, verts, face_subset, valid)
-        n = jnp.arange(points.shape[0])
-        return d2, cand_safe[n, local].astype(jnp.int32), cp
+        d2, f_id, closest = point_mesh_closest_planar(points, verts, topology, k)
+        return d2, f_id, jnp.stack(closest, axis=-1)
     raise ValueError(method)
 
 
@@ -235,12 +372,34 @@ def barycentric_coordinates(closest, tri):
     return jnp.stack([u, v, w], axis=1)
 
 
+def _signed_distance_planar(points, verts, topology: MeshTopology, k=8):
+    """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
+    faces = topology.faces
+    d2, f_id, closest = point_mesh_closest_planar(points, verts, topology, k=k)
+    vn = angle_weighted_vertex_normals(verts, faces)
+    c0, i0 = _gather_corner_coords(verts, faces, 0, f_id)
+    c1, i1 = _gather_corner_coords(verts, faces, 1, f_id)
+    c2, i2 = _gather_corner_coords(verts, faces, 2, f_id)
+    u, v, w = barycentric_planar(closest, c0, c1, c2)
+    # pseudonormal at the closest point: bary-weighted vertex pseudonormals
+    normal = tuple(
+        u * vn[:, a][i0] + v * vn[:, a][i1] + w * vn[:, a][i2] for a in range(3)
+    )
+    p_cols = (points[:, 0], points[:, 1], points[:, 2])
+    sign = jnp.sign(_dot3(_sub3(p_cols, closest), normal))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return sign * jnp.sqrt(jnp.maximum(d2, 0.0)), f_id, closest
+
+
 def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn"):
     """Signed distance to a watertight mesh (negative inside).
 
     Same contract as igl.signed_distance (human_nerf_trainer.py:310-314):
     returns (signed_dist [N], f_id [N], closest [N, 3]).
     """
+    if method == "knn":
+        sd, f_id, closest = _signed_distance_planar(points, verts, topology, k=k)
+        return sd, f_id, jnp.stack(closest, axis=-1)
     d2, f_id, closest = point_mesh_closest(points, verts, topology, k=k, method=method)
     vn = angle_weighted_vertex_normals(verts, topology.faces)
     tri_ids = topology.faces[f_id]  # [N, 3]
@@ -271,6 +430,61 @@ def interp_vertex_transforms(closest, f_id, verts, T, topology: MeshTopology,
     return jnp.linalg.inv(t_interp)
 
 
+def _blend_inverse_affine(closest, f_id, verts, T, topology: MeshTopology,
+                          differentiable=False):
+    """Barycentric-blend per-vertex 4x4 transforms at the closest point and
+    invert, entirely on coordinate/element columns.
+
+    closest: (x, y, z) tuple of [N]; T: [V(+J), 4, 4]. LBS transforms (and
+    their convex blends) have an exact (0, 0, 0, 1) last row, so the inverse
+    is the affine closed form: R' = inv3x3(R) via adjugate, t' = -R' t.
+    Returns 12 columns (i00..i22, t0', t1', t2') of shape [N].
+    """
+    faces = topology.faces
+    c0, i0 = _gather_corner_coords(verts, faces, 0, f_id)
+    c1, i1 = _gather_corner_coords(verts, faces, 1, f_id)
+    c2, i2 = _gather_corner_coords(verts, faces, 2, f_id)
+    if differentiable:
+        closest = tuple(jax.lax.stop_gradient(c) for c in closest)
+    u, v, w = barycentric_planar(closest, c0, c1, c2)
+
+    t16 = T.reshape(T.shape[0], 16)
+    m = [
+        u * t16[:, j][i0] + v * t16[:, j][i1] + w * t16[:, j][i2]
+        for j in range(12)  # rows 0..2 of the 4x4; last row is (0,0,0,1)
+    ]
+    m00, m01, m02, t0, m10, m11, m12, t1, m20, m21, m22, t2 = m
+    det = (
+        m00 * (m11 * m22 - m12 * m21)
+        - m01 * (m10 * m22 - m12 * m20)
+        + m02 * (m10 * m21 - m11 * m20)
+    )
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    i00 = (m11 * m22 - m12 * m21) / det
+    i01 = (m02 * m21 - m01 * m22) / det
+    i02 = (m01 * m12 - m02 * m11) / det
+    i10 = (m12 * m20 - m10 * m22) / det
+    i11 = (m00 * m22 - m02 * m20) / det
+    i12 = (m02 * m10 - m00 * m12) / det
+    i20 = (m10 * m21 - m11 * m20) / det
+    i21 = (m01 * m20 - m00 * m21) / det
+    i22 = (m00 * m11 - m01 * m10) / det
+    tp0 = -(i00 * t0 + i01 * t1 + i02 * t2)
+    tp1 = -(i10 * t0 + i11 * t1 + i12 * t2)
+    tp2 = -(i20 * t0 + i21 * t1 + i22 * t2)
+    return (i00, i01, i02, i10, i11, i12, i20, i21, i22, tp0, tp1, tp2)
+
+
+def apply_affine_cols(aff, p):
+    """Apply 12-column affine transform to a point column tuple."""
+    (i00, i01, i02, i10, i11, i12, i20, i21, i22, t0, t1, t2) = aff
+    return (
+        i00 * p[0] + i01 * p[1] + i02 * p[2] + t0,
+        i10 * p[0] + i11 * p[1] + i12 * p[2] + t1,
+        i20 * p[0] + i21 * p[1] + i22 * p[2] + t2,
+    )
+
+
 def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method="knn"):
     """Inference-time warp: observation samples -> canonical space.
 
@@ -280,15 +494,37 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
     """
     r, s, _ = pts.shape
     flat = pts.reshape(-1, 3)
-    _, f_id, closest = point_mesh_closest(flat, verts, topology, k=k, method=method)
-    t_inv = interp_vertex_transforms(closest, f_id, verts, T, topology)
-    can = jnp.einsum("nij,nj->ni", t_inv, jnp.concatenate(
-        [flat, jnp.ones_like(flat[:, :1])], axis=-1))[:, :3]
-    can_pts = can.reshape(r, s, 3)
+    if method == "knn":
+        _, f_id, closest_cols = point_mesh_closest_planar(flat, verts, topology, k=k)
+        aff = _blend_inverse_affine(closest_cols, f_id, verts, T, topology)
+        can_cols = apply_affine_cols(aff, (flat[:, 0], flat[:, 1], flat[:, 2]))
+        can_pts = jnp.stack(can_cols, axis=-1).reshape(r, s, 3)
+        closest = jnp.stack(closest_cols, axis=-1)
+    else:
+        _, f_id, closest = point_mesh_closest(flat, verts, topology, k=k, method=method)
+        t_inv = interp_vertex_transforms(closest, f_id, verts, T, topology)
+        can = jnp.einsum("nij,nj->ni", t_inv, jnp.concatenate(
+            [flat, jnp.ones_like(flat[:, :1])], axis=-1))[:, :3]
+        can_pts = can.reshape(r, s, 3)
     can_dirs = can_pts[:, 1:] - can_pts[:, :-1]
     can_dirs = jnp.concatenate([can_dirs, can_dirs[:, -1:]], axis=1)
     can_dirs = can_dirs / (jnp.linalg.norm(can_dirs, axis=2, keepdims=True) + 1e-20)
     return can_pts, can_dirs, closest.reshape(r, s, 3)
+
+
+def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8):
+    """Training-time warp, planar internals: pts [N, 3] -> (can [N, 3],
+    f_id [N], signed_dist [N]). Same gradient semantics as
+    `warp_samples_to_canonical_diff` (closest point / face choice
+    stop-gradient; barycentric T-blend differentiable w.r.t. `verts`)."""
+    sd, f_id, closest_cols = _signed_distance_planar(
+        pts, jax.lax.stop_gradient(verts), topology, k=k
+    )
+    aff = _blend_inverse_affine(
+        closest_cols, f_id, verts, T, topology, differentiable=True
+    )
+    can_cols = apply_affine_cols(aff, (pts[:, 0], pts[:, 1], pts[:, 2]))
+    return jnp.stack(can_cols, axis=-1), f_id, sd
 
 
 def warp_samples_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8, method="knn"):
@@ -297,6 +533,8 @@ def warp_samples_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8, m
     Matches the reference contract (ray_utils.py:69-93): the closest point /
     face choice carry no gradient, but the barycentric blend is
     differentiable w.r.t. `verts` (and hence SMPL pose/betas through LBS).
+    Prefer `warp_points_to_canonical_diff` in new code — it avoids
+    materializing [N, 4, 4] transforms.
     """
     sd, f_id, closest = signed_distance(pts, jax.lax.stop_gradient(verts), topology, k=k, method=method)
     t_inv = interp_vertex_transforms(

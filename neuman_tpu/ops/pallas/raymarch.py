@@ -31,7 +31,9 @@ def _weights_t(params, use_viewdirs, width, compute_dtype):
     ws = []
 
     def add(w, b):
-        ws.extend([w.T.astype(compute_dtype), b.reshape(1, -1)])
+        # biases as [C, 1] column vectors: broadcasting along lanes needs no
+        # relayout (a [1, C]-row -> column transpose crashes Mosaic)
+        ws.extend([w.T.astype(compute_dtype), b.reshape(-1, 1)])
 
     for p in params["pts_linears"]:
         add(p["w"], p["b"])
@@ -83,11 +85,11 @@ def nerf_mlp_pallas(
         wi = 0
         for i in range(depth):
             wt = wrefs[wi][:]
-            b = wrefs[wi + 1][:]
+            b = wrefs[wi + 1][:]  # [C, 1] column bias
             wi += 2
             h = jnp.dot(
                 wt, h.astype(compute_dtype), preferred_element_type=jnp.float32
-            ) + b[0][:, None]
+            ) + b
             h = jnp.maximum(h, 0.0)
             if i in skips:
                 h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
@@ -96,25 +98,26 @@ def nerf_mlp_pallas(
         wt_f, b_f = wrefs[wi + 2][:], wrefs[wi + 3][:]
         wt_vf, b_v = wrefs[wi + 4][:], wrefs[wi + 5][:]
         wt_rgb, b_rgb = wrefs[wi + 6][:], wrefs[wi + 7][:]
+        # biases are [C, 1] columns (broadcast along lanes)
 
         alpha = jnp.dot(
             wt_a, h.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_a[0][:, None]  # [1, TN]
+        ) + b_a  # [1, TN]
         feature = jnp.dot(
             wt_f, h.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_f[0][:, None]  # [W, TN]
+        ) + b_f  # [W, TN]
         feat_part = jnp.dot(
             wt_vf, feature.astype(compute_dtype), preferred_element_type=jnp.float32
         )  # [W/2, TN]
         half = feat_part.shape[0]
         dirp = dirp_ref[:].T  # [RT, W/2] block -> [W/2, RT]
         h2 = jnp.maximum(
-            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[0][:, None, None],
+            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[:, :, None],
             0.0,
         ).reshape(half, tn)
         rgb = jnp.dot(
             wt_rgb, h2.astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + b_rgb[0][:, None]  # [3, TN]
+        ) + b_rgb  # [3, TN]
         out_ref[:] = jnp.concatenate([alpha, rgb], axis=0)  # [4, TN]
 
     grid = (r // rt,)

@@ -169,14 +169,10 @@ def make_human_loss_fn(spec, opt, ctx):
             spec, params, body_model, da_smpl, scene_scale, scene_id
         )
         flat = pts.reshape(-1, 3)
-        ts_inv, f_id, _ = mesh_ops.warp_samples_to_canonical_diff(
+        can_flat, f_id, _ = mesh_ops.warp_points_to_canonical_diff(
             flat, verts[0], raw_ts[0], topo, k=knn_k
         )
-        can = jnp.einsum(
-            "nij,nj->ni", ts_inv,
-            jnp.concatenate([flat, jnp.ones_like(flat[:, :1])], axis=-1),
-        )[:, :3].reshape(r, s, 3)
-        can = can + offset
+        can = can_flat.reshape(r, s, 3) + offset
         can_dirs = can[:, 1:] - can[:, :-1]
         can_dirs = jnp.concatenate([can_dirs, can_dirs[:, -1:]], axis=1)
         can_dirs = can_dirs / (

@@ -245,3 +245,58 @@ def test_signed_distance_knn_matches_brute():
     assert (np.asarray(sd_b)[inside] < 0).all()
     outside = np.linalg.norm(points, axis=1) > 1.2
     assert (np.asarray(sd_b)[outside] > 0).all()
+
+
+def test_planar_warp_matches_dense():
+    """The planar-internals diff warp equals the dense [N,4,4] formulation."""
+    rng = np.random.default_rng(5)
+    from scipy.spatial import ConvexHull
+
+    dirs = rng.normal(size=(60, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    verts = dirs.astype(np.float32)
+    faces = ConvexHull(verts).simplices.astype(np.int32)
+    topo = mesh_ops.MeshTopology.build(faces, len(verts))
+    # random affine-ish per-vertex transforms with exact (0,0,0,1) last row
+    T = np.tile(np.eye(4, dtype=np.float32)[None], (len(verts), 1, 1))
+    T[:, :3, :3] += rng.normal(size=(len(verts), 3, 3)).astype(np.float32) * 0.05
+    T[:, :3, 3] = rng.normal(size=(len(verts), 3)).astype(np.float32) * 0.1
+    pts = rng.normal(size=(50, 3)).astype(np.float32) * 1.2
+
+    t_inv, f_id_d, sd_d = mesh_ops.warp_samples_to_canonical_diff(
+        jnp.asarray(pts), jnp.asarray(verts), jnp.asarray(T), topo, k=8
+    )
+    can_dense = np.einsum(
+        "nij,nj->ni", np.asarray(t_inv),
+        np.concatenate([pts, np.ones((50, 1), np.float32)], axis=1),
+    )[:, :3]
+    can_planar, f_id_p, sd_p = mesh_ops.warp_points_to_canonical_diff(
+        jnp.asarray(pts), jnp.asarray(verts), jnp.asarray(T), topo, k=8
+    )
+    np.testing.assert_array_equal(np.asarray(f_id_p), np.asarray(f_id_d))
+    np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(can_planar), can_dense, atol=1e-4)
+
+
+def test_planar_warp_gradients():
+    import jax
+
+    v, f = make_cube()
+    topo = mesh_ops.MeshTopology.build(f, len(v))
+    # non-identity per-vertex transforms so the barycentric blend carries
+    # gradient (with identity T the blend is constant in verts)
+    rng = np.random.default_rng(0)
+    T = np.tile(np.eye(4, dtype=np.float32)[None], (len(v), 1, 1))
+    T[:, :3, 3] = rng.normal(size=(len(v), 3)).astype(np.float32) * 0.2
+    T = jnp.asarray(T)
+    pts = jnp.asarray([[0.2, 0.1, 0.6], [0.0, -0.3, 0.1]], dtype=jnp.float32)
+
+    def loss(verts):
+        can, f_id, sd = mesh_ops.warp_points_to_canonical_diff(
+            pts, verts, T, topo, k=4
+        )
+        return jnp.sum(can**2) + jnp.sum(sd)
+
+    g = jax.grad(loss)(jnp.asarray(v))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
