@@ -126,7 +126,59 @@ def mlp_planar(
     return sigma, rgb_c
 
 
-def integrate_planar(sigma, rgb_c, z_vals, dir_norm, white_bkg=True):
+def offset_net_planar(offset_spec, params, axes, scale, compute_dtype=jnp.bfloat16):
+    """Offset net on planarized (x, y, z, t) columns.
+
+    offset_spec: models.nerf.OffsetNetSpec; axes: 4 x [R, S] columns.
+    Returns 3 offset coordinate planes [R, S] (scale modes applied).
+    """
+    nspec = offset_spec.nerf
+    r, s = axes[0].shape
+    axes_cn = jnp.stack([a.reshape(-1) for a in axes], axis=0)  # [4, N]
+    pe = pe_rows(offset_spec.pos_pe, axes_cn).astype(compute_dtype)
+    h = pe
+    for i, p in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(
+            _dot_t(p["w"], h, compute_dtype) + p["b"][:, None]
+        ).astype(compute_dtype)
+        if i in nspec.skips:
+            h = jnp.concatenate([pe, h], axis=0)
+    out = (
+        _dot_t(params["output_linear"]["w"], h, compute_dtype)
+        + params["output_linear"]["b"][:, None]
+    )  # [3, N]
+    if nspec.scale_type == "linear":
+        out = out * scale
+    elif nspec.scale_type == "tanh":
+        out = jnp.tanh(out) * scale
+    elif nspec.scale_type != "no":
+        raise ValueError(nspec.scale_type)
+    return [out[c].reshape(r, s) for c in range(3)]
+
+
+def sort_merge_planar(z_list, sigma_list, rgb_c_list):
+    """z-sort merge of multiple planar sample sets along each ray.
+
+    z_list: [..., S_i]; sigma_list: matching [..., S_i]; rgb_c_list: list of
+    3-channel lists. Returns (z_sorted, sigma_sorted, rgb_c_sorted).
+    """
+    z = jnp.concatenate(z_list, axis=-1)
+    order = jnp.argsort(z, axis=-1)
+    z_sorted = jnp.take_along_axis(z, order, axis=-1)
+    sigma = jnp.take_along_axis(
+        jnp.concatenate(sigma_list, axis=-1), order, axis=-1
+    )
+    rgb_c = [
+        jnp.take_along_axis(
+            jnp.concatenate([r[c] for r in rgb_c_list], axis=-1), order, axis=-1
+        )
+        for c in range(3)
+    ]
+    return z_sorted, sigma, rgb_c
+
+
+def integrate_planar(sigma, rgb_c, z_vals, dir_norm, white_bkg=True,
+                     raw_noise_std=0.0, key=None):
     """raw2outputs on planarized channels.
 
     sigma: [R, S]; rgb_c: 3 x [R, S]; z_vals: [R, S]; dir_norm: [R].
@@ -135,6 +187,9 @@ def integrate_planar(sigma, rgb_c, z_vals, dir_norm, white_bkg=True):
     dists = z_vals[..., 1:] - z_vals[..., :-1]
     dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
     dists = dists * dir_norm[:, None]
+    if raw_noise_std > 0.0:
+        assert key is not None
+        sigma = sigma + jax.random.normal(key, sigma.shape) * raw_noise_std
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
     trans = jnp.cumprod(
         jnp.concatenate(

@@ -50,15 +50,10 @@ def image_coords(h, w):
     return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(jnp.float32)
 
 
-def ray_to_samples(
-    origin, direction, near, far, samples_per_ray, key=None, perturb=0.0,
-    lindisp=False, append_t=None,
+def sample_z_vals(
+    near, far, samples_per_ray, key=None, perturb=0.0, lindisp=False
 ):
-    """Stratified samples along rays.
-
-    origin/direction: [R, 3]; near/far: [R, 1] (or [R]).
-    Returns (pts [R, S, 3(+1)], dirs [R, S, 3], z_vals [R, S]).
-    """
+    """Stratified z values [R, S] (the z half of `ray_to_samples`)."""
     near = near.reshape(-1, 1)
     far = far.reshape(-1, 1)
     t_vals = jnp.linspace(0.0, 1.0, samples_per_ray)
@@ -78,7 +73,21 @@ def ray_to_samples(
             1 - PERTURB_EPSILON,
         )
         z_vals = lower + (upper - lower) * t_rand
+    return z_vals
 
+
+def ray_to_samples(
+    origin, direction, near, far, samples_per_ray, key=None, perturb=0.0,
+    lindisp=False, append_t=None,
+):
+    """Stratified samples along rays.
+
+    origin/direction: [R, 3]; near/far: [R, 1] (or [R]).
+    Returns (pts [R, S, 3(+1)], dirs [R, S, 3], z_vals [R, S]).
+    """
+    z_vals = sample_z_vals(
+        near, far, samples_per_ray, key=key, perturb=perturb, lindisp=lindisp
+    )
     pts = origin[..., None, :] + direction[..., None, :] * z_vals[..., :, None]
     dirs = jnp.broadcast_to(direction[:, None, :], pts.shape[:2] + (3,))
     if append_t is not None:

@@ -52,54 +52,91 @@ def _masked_penalty(sigma, mask, loss_fn_name):
 def bkg_loss_fn(
     params, spec, batch, opt, penalty_weight, keys,
 ):
-    """Coarse+fine losses for one ray batch. Returns (total, aux)."""
+    """Coarse+fine losses for one ray batch. Returns (total, aux).
+
+    Planarized internals (ops/fused.py): stratified z, MLP on coordinate
+    planes, planar integration — numerically identical to the
+    apply_joiner/raw2outputs formulation (see test_trainers parity test).
+    The NeRF-T ablation (time channel, 4-D PE) keeps the reference-shaped
+    path.
+    """
+    from neuman_tpu.ops import fused
+
     k_perturb, k_noise_c, k_noise_f = keys
     use_time = opt.ablate_nerft
     r = batch["origin"].shape[0]
-    t_c = (
-        jnp.broadcast_to(batch["viewf_list"][:, None], (r, opt.samples_per_ray, 1))
-        if use_time
-        else None
+    origin, direction = batch["origin"], batch["direction"]
+    compute_dtype = (
+        jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
     )
-    pts, dirs, z_vals = ray_ops.ray_to_samples(
-        batch["origin"], batch["direction"], batch["near"], batch["far"],
-        opt.samples_per_ray, key=k_perturb, perturb=opt.perturb, append_t=t_c,
-    )
-    out = nerf_module.apply_joiner(spec, params["coarse"], pts, dirs)
-    rgb, _, _, weights, _ = volume.raw2outputs(
-        out, z_vals, dirs[:, 0, :], raw_noise_std=opt.raw_noise_std,
-        white_bkg=opt.white_bkg, key=k_noise_c,
-    )
-    coarse_rgb_loss = jnp.mean((rgb - batch["color"]) ** 2)
 
+    z_vals = ray_ops.sample_z_vals(
+        batch["near"], batch["far"], opt.samples_per_ray, key=k_perturb,
+        perturb=opt.perturb,
+    )
     depth = batch["depth"][:, None]
+
+    if use_time:
+        t_c = jnp.broadcast_to(
+            batch["viewf_list"][:, None], (r, opt.samples_per_ray, 1)
+        )
+        pts = origin[:, None, :] + direction[:, None, :] * z_vals[..., None]
+        pts = jnp.concatenate([pts, t_c], axis=-1)
+        dirs = jnp.broadcast_to(direction[:, None, :], (r, opt.samples_per_ray, 3))
+        out = nerf_module.apply_joiner(spec, params["coarse"], pts, dirs)
+        rgb, _, _, weights, _ = volume.raw2outputs(
+            out, z_vals, direction, raw_noise_std=opt.raw_noise_std,
+            white_bkg=opt.white_bkg, key=k_noise_c,
+        )
+        sigma_c = out[..., 3]
+    else:
+        o_ax = [origin[:, a] for a in range(3)]
+        d_ax = [direction[:, a] for a in range(3)]
+        dir_norm = jnp.linalg.norm(direction, axis=-1)
+        planes = [o_ax[a][:, None] + d_ax[a][:, None] * z_vals for a in range(3)]
+        sigma_c, rgb_cc = fused.mlp_planar(
+            spec, params["coarse"], planes, d_ax, compute_dtype
+        )
+        rgb, _, _, weights, _ = fused.integrate_planar(
+            sigma_c, rgb_cc, z_vals, dir_norm, white_bkg=opt.white_bkg,
+            raw_noise_std=opt.raw_noise_std, key=k_noise_c,
+        )
+    coarse_rgb_loss = jnp.mean((rgb - batch["color"]) ** 2)
     closer = (z_vals < depth * opt.margin).astype(jnp.float32)
     coarse_empty = (
-        _masked_penalty(out[..., 3], closer, opt.empty_space_loss_fn)
+        _masked_penalty(sigma_c, closer, opt.empty_space_loss_fn)
         * penalty_weight
     )
 
-    t_f = (
-        jnp.broadcast_to(
-            batch["viewf_list"][:, None],
-            (r, opt.samples_per_ray + opt.importance_samples_per_ray, 1),
+    f_z = fused.importance_z(
+        z_vals, weights, opt.importance_samples_per_ray, det=True
+    )
+    if use_time:
+        t_f = jnp.broadcast_to(
+            batch["viewf_list"][:, None], (r, f_z.shape[1], 1)
         )
-        if use_time
-        else None
-    )
-    f_pts, f_dirs, f_z = ray_ops.ray_to_importance_samples(
-        batch["origin"], batch["direction"], z_vals, weights,
-        opt.importance_samples_per_ray, det=True, append_t=t_f,
-    )
-    f_out = nerf_module.apply_joiner(spec, params["fine"], f_pts, f_dirs)
-    f_rgb, _, _, _, _ = volume.raw2outputs(
-        f_out, f_z, f_dirs[:, 0, :], raw_noise_std=opt.raw_noise_std,
-        white_bkg=opt.white_bkg, key=k_noise_f,
-    )
+        f_pts = origin[:, None, :] + direction[:, None, :] * f_z[..., None]
+        f_pts = jnp.concatenate([f_pts, t_f], axis=-1)
+        f_dirs = jnp.broadcast_to(direction[:, None, :], (r, f_z.shape[1], 3))
+        f_out = nerf_module.apply_joiner(spec, params["fine"], f_pts, f_dirs)
+        f_rgb, _, _, _, _ = volume.raw2outputs(
+            f_out, f_z, direction, raw_noise_std=opt.raw_noise_std,
+            white_bkg=opt.white_bkg, key=k_noise_f,
+        )
+        sigma_f = f_out[..., 3]
+    else:
+        planes = [o_ax[a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
+        sigma_f, rgb_cf = fused.mlp_planar(
+            spec, params["fine"], planes, d_ax, compute_dtype
+        )
+        f_rgb, _, _, _, _ = fused.integrate_planar(
+            sigma_f, rgb_cf, f_z, dir_norm, white_bkg=opt.white_bkg,
+            raw_noise_std=opt.raw_noise_std, key=k_noise_f,
+        )
     fine_rgb_loss = jnp.mean((f_rgb - batch["color"]) ** 2)
     f_closer = (f_z < depth * opt.margin).astype(jnp.float32)
     fine_empty = (
-        _masked_penalty(f_out[..., 3], f_closer, opt.empty_space_loss_fn)
+        _masked_penalty(sigma_f, f_closer, opt.empty_space_loss_fn)
         * penalty_weight
     )
 
@@ -110,8 +147,8 @@ def bkg_loss_fn(
         "fine_empty_space_loss": fine_empty,
         "rgb_loss": coarse_rgb_loss + fine_rgb_loss,
         "empty_space_loss": coarse_empty + fine_empty,
-        "max_sigma_coarse": out[..., 3].max(),
-        "max_sigma_fine": f_out[..., 3].max(),
+        "max_sigma_coarse": sigma_c.max(),
+        "max_sigma_fine": sigma_f.max(),
     }
     return coarse_rgb_loss, coarse_empty, fine_rgb_loss, fine_empty, aux
 

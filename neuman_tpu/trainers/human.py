@@ -118,10 +118,13 @@ def _masked_mean(values, mask):
     return (values * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def make_human_loss_fn(spec, opt, ctx):
-    """ctx: dict with body_model, da_smpl, scale, topo, can_verts [N,V,3],
+def make_human_loss_fn_reference(spec, opt, ctx):
+    """Reference-shaped formulation ([R, S, 3] tensors); kept as the parity
+    oracle for the planarized `make_human_loss_fn` below.
+
+    ctx: dict with body_model, da_smpl, scale, topo, can_verts [N,V,3],
     can_k [C,3,3], can_c2w [C,4,4], can_hw, interval_comp, lpips_params,
-    knn_k."""
+    scene_ids, grad_masks, knn_k."""
 
     body_model = ctx["body_model"]
     da_smpl = ctx["da_smpl"]
@@ -343,6 +346,294 @@ def make_human_loss_fn(spec, opt, ctx):
 
         dead = human_out[..., 3].max() <= 0.0
         # dead restart zeroes every loss (ref: 437-442)
+        losses = {k: jnp.where(dead, 0.0, v) for k, v in losses.items()}
+        losses["rgb_loss"] = (
+            losses["fine_rgb_loss"] + losses["color_range_reg"] + losses["lpips_loss"]
+        )
+        losses["can_loss"] = losses["smpl_sym_reg"] + losses["smpl_shape_reg"]
+        total = jnp.where(
+            anneals["iteration"] >= opt.delay_iters,
+            losses["rgb_loss"] + losses["can_loss"] + losses["mask_loss"]
+            + losses["sparsity_reg"],
+            losses["can_loss"] + losses["mask_loss"] + losses["sparsity_reg"],
+        )
+        losses["total_loss"] = total
+        return total, {"losses": losses, "dead": dead}
+
+    return loss_fn
+
+
+def make_human_loss_fn(spec, opt, ctx):
+    """Planarized human-stage loss (the production path).
+
+    Same losses/keys/randomness as `make_human_loss_fn_reference` — the two
+    are numerically parity-tested — but every dense [R, S, 3] tensor is
+    replaced by coordinate planes (ops/fused.py) so no intermediate hits the
+    TPU's small-lane tile padding.
+    """
+    from neuman_tpu.ops import fused
+
+    body_model = ctx["body_model"]
+    da_smpl = ctx["da_smpl"]
+    scene_scale = ctx["scale"]
+    topo = ctx["topo"]
+    knn_k = ctx["knn_k"]
+    cd = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+
+    def ray_planes(origin, direction, z):
+        return [
+            origin[:, a][:, None] + direction[:, a][:, None] * z
+            for a in range(3)
+        ]
+
+    def eval_bkg(params, batch):
+        origin, direction = batch["origin"], batch["direction"]
+        d_ax = [direction[:, a] for a in range(3)]
+        dir_norm = jnp.linalg.norm(direction, axis=-1)
+        z = ray_ops.sample_z_vals(
+            batch["bkg_near"], batch["bkg_far"], opt.samples_per_ray
+        )
+        planes = ray_planes(origin, direction, z)
+        sg, rgb_c = fused.mlp_planar(
+            spec.bkg, params["coarse_bkg_net"], planes, d_ax, cd
+        )
+        sg = jax.lax.stop_gradient(sg)
+        rgb_c = [jax.lax.stop_gradient(c) for c in rgb_c]
+        _, _, _, w, _ = fused.integrate_planar(
+            sg, rgb_c, z, dir_norm, white_bkg=opt.white_bkg
+        )
+        w = jax.lax.stop_gradient(w)
+        f_z = fused.importance_z(z, w, opt.importance_samples_per_ray, det=True)
+        planes = ray_planes(origin, direction, f_z)
+        sgf, rgb_cf = fused.mlp_planar(
+            spec.bkg, params["fine_bkg_net"], planes, d_ax, cd
+        )
+        sgf = jax.lax.stop_gradient(sgf)
+        rgb_cf = [jax.lax.stop_gradient(c) for c in rgb_cf]
+        return dir_norm, f_z, sgf, rgb_cf
+
+    def eval_human(params, batch, keys, offset_scale):
+        k_perturb, k_offset = keys
+        origin, direction = batch["origin"], batch["direction"]
+        z = ray_ops.sample_z_vals(
+            batch["human_near"], batch["human_far"], opt.samples_per_ray,
+            key=k_perturb, perturb=opt.perturb,
+        )
+        r, s = z.shape
+        planes = ray_planes(origin, direction, z)
+        t_plane = jnp.full((r, s), batch["cur_view_f"])
+        which = jax.random.randint(k_offset, (), 0, spec.num_offset_nets)
+        if spec.num_offset_nets == 1:
+            off = fused.offset_net_planar(
+                spec.offset, params["offset_nets"][0],
+                planes + [t_plane], offset_scale, cd,
+            )
+        else:
+            branches = [
+                (lambda p: (lambda _: fused.offset_net_planar(
+                    spec.offset, p, planes + [t_plane], offset_scale, cd
+                )))(p)
+                for p in params["offset_nets"]
+            ]
+            off = jax.lax.switch(which, branches, operand=None)
+        scene_id = ctx["scene_ids"][batch["cap_id"]]
+        verts, raw_ts = hn.vertex_forward(
+            spec, params, body_model, da_smpl, scene_scale, scene_id
+        )
+        flat = jnp.stack([p.reshape(-1) for p in planes], axis=-1)  # [N, 3]
+        can_flat, f_id, _ = mesh_ops.warp_points_to_canonical_diff(
+            flat, verts[0], raw_ts[0], topo, k=knn_k
+        )
+        can_planes = [
+            can_flat[:, a].reshape(r, s) + off[a] for a in range(3)
+        ]
+        diffs = [p[:, 1:] - p[:, :-1] for p in can_planes]
+        diffs = [jnp.concatenate([p, p[:, -1:]], axis=1) for p in diffs]
+        norm = jnp.sqrt(diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2) + 1e-20
+        can_dir_planes = [p / norm for p in diffs]
+        sg, rgb_c = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], can_planes, can_dir_planes,
+            cd, dirs_per_ray=False,
+        )
+        dir_norm = jnp.linalg.norm(direction, axis=-1)
+        return dir_norm, z, can_planes, can_dir_planes, sg, rgb_c
+
+    def color_range_reg(params, can_planes, can_dir_planes, sg, rgb_c, key, weight):
+        r, s = sg.shape
+        dummy = jax.random.normal(key, (r, s, 3))
+        dummy = dummy / jnp.linalg.norm(dummy, axis=-1, keepdims=True)
+        d_planes = [dummy[..., a] for a in range(3)]
+        _, d_rgb = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], can_planes, d_planes, cd,
+            dirs_per_ray=False,
+        )
+        se = sum(
+            jnp.sum((jax.nn.sigmoid(d_rgb[c]) - jax.nn.sigmoid(rgb_c[c])) ** 2)
+            for c in range(3)
+        )
+        return se / (3 * r * s) * weight
+
+    def sym_reg(params, can_planes, can_dir_planes, sg, weight):
+        flip = [
+            jax.lax.stop_gradient(-can_planes[0]),
+            jax.lax.stop_gradient(can_planes[1]),
+            jax.lax.stop_gradient(can_planes[2]),
+        ]
+        d_sg = [jax.lax.stop_gradient(p) for p in can_dir_planes]
+        sg_flip, _ = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], flip, d_sg, cd,
+            dirs_per_ray=False,
+        )
+        return (
+            jnp.mean(
+                (jnp.tanh(jax.nn.relu(sg)) - jnp.tanh(jax.nn.relu(sg_flip))) ** 2
+            )
+            * weight
+        )
+
+    def shape_reg(params, batch, can_planes, can_dir_planes, sg, key,
+                  w_alpha, w_dummy):
+        can_verts = ctx["can_verts"][batch["cap_id"]]
+        r, s = sg.shape
+        flat = jnp.stack([p.reshape(-1) for p in can_planes], axis=-1)
+        sd, _, _ = mesh_ops.signed_distance(
+            jax.lax.stop_gradient(flat), can_verts, topo, k=knn_k
+        )
+        inside = (sd < 0).astype(jnp.float32)
+        occ = 1.0 - jnp.exp(-jax.nn.relu(sg.reshape(-1)))
+        reg = _masked_mean((occ - 1.0) ** 2, inside) * w_alpha
+
+        dummy = (jax.random.uniform(key, (r, s, 3)) - 0.5) * 3.0
+        d_planes = [dummy[..., a] for a in range(3)]
+        d_sg, _ = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], d_planes, can_dir_planes,
+            cd, dirs_per_ray=False,
+        )
+        sd_d, _, _ = mesh_ops.signed_distance(
+            dummy.reshape(-1, 3), can_verts, topo, k=knn_k
+        )
+        sd_d = jax.lax.stop_gradient(sd_d)
+        d_inside = (sd_d < 0).astype(jnp.float32)
+        d_outside = (sd_d > 0).astype(jnp.float32)
+        d_occ = 1.0 - jnp.exp(-jax.nn.relu(d_sg.reshape(-1)))
+        reg = reg + _masked_mean((d_occ - 1.0) ** 2, d_inside) * w_dummy
+        outside_val = d_occ * jnp.power(
+            jnp.abs(sd_d) * opt.penalize_outside_factor, opt.dist_exponent
+        )
+        if opt.penalize_outside_loss == "mse":
+            reg = reg + _masked_mean(outside_val**2, d_outside) * w_dummy
+        else:
+            reg = reg + _masked_mean(jnp.abs(outside_val), d_outside) * w_dummy
+        return reg
+
+    def sparsity_reg(params, keys, interval_comp):
+        k_cam, k_pix, k_perturb = keys
+        num_can_rays = 128
+        c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
+        h, w = ctx["can_hw"]
+        kx, ky = jax.random.split(k_pix)
+        x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
+        y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
+        origin, direction = ray_ops.pixels_to_rays(
+            jnp.stack([x, y], axis=-1), ctx["can_k"][c], ctx["can_c2w"][c]
+        )
+        near = jnp.zeros((num_can_rays, 1))
+        far = jnp.full((num_can_rays, 1), CANONICAL_CAMERA_DIST * 1.667)
+        z = ray_ops.sample_z_vals(
+            near, far, opt.samples_per_ray, key=k_perturb, perturb=opt.perturb
+        )
+        planes = ray_planes(origin, direction, z)
+        d_ax = [direction[:, a] for a in range(3)]
+        sg, rgb_c = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], planes, d_ax, cd
+        )
+        sg = sg * interval_comp
+        dir_norm = jnp.linalg.norm(direction, axis=-1)
+        _, _, can_mask, can_w, _ = fused.integrate_planar(
+            sg, rgb_c, z, dir_norm, white_bkg=True
+        )
+        can_w = jnp.clip(can_w, 0.0, 1.0)
+        can_mask = jnp.clip(can_mask, 0.0, 1.0)
+        reg = 0.0
+        if opt.penalize_sharp_edge > 0:
+            reg = reg + jnp.mean(
+                -jnp.log(
+                    jnp.exp(-jnp.abs(can_mask)) + jnp.exp(-jnp.abs(1 - can_mask))
+                )
+                + HARD_SURFACE_OFFSET
+            ) * opt.penalize_sharp_edge
+        if opt.penalize_hard_surface > 0:
+            reg = reg + jnp.mean(
+                -jnp.log(jnp.exp(-jnp.abs(can_w)) + jnp.exp(-jnp.abs(1 - can_w)))
+                + HARD_SURFACE_OFFSET
+            ) * opt.penalize_hard_surface
+        return reg
+
+    def loss_fn(params, batch, keys, anneals):
+        losses = {name: 0.0 for name in LOSS_NAMES}
+        dir_norm, fine_z, f_sg, f_rgb_c = eval_bkg(params, batch)
+        (_, human_z, can_planes, can_dir_planes, h_sg, h_rgb_c) = eval_human(
+            params, batch, (keys["perturb"], keys["offset"]),
+            anneals["offset_scale"],
+        )
+
+        if opt.penalize_symmetric_alpha > 0:
+            losses["smpl_sym_reg"] = sym_reg(
+                params, can_planes, can_dir_planes, h_sg, anneals["sym_w"]
+            )
+        if opt.penalize_color_range > 0:
+            losses["color_range_reg"] = color_range_reg(
+                params, can_planes, can_dir_planes, h_sg, h_rgb_c,
+                keys["color"], opt.penalize_color_range,
+            )
+        if opt.penalize_mask > 0:
+            _, _, human_mask, _, _ = fused.integrate_planar(
+                h_sg, h_rgb_c, human_z, dir_norm, white_bkg=opt.white_bkg
+            )
+            tgt = (1 - batch["is_bkg"]).astype(jnp.float32)
+            losses["mask_loss"] = (
+                jnp.mean((jnp.clip(human_mask, 0.0, 1.0) - tgt) ** 2)
+                * anneals["mask_w"]
+            )
+        if opt.penalize_smpl_alpha > 0:
+            losses["smpl_shape_reg"] = shape_reg(
+                params, batch, can_planes, can_dir_planes, h_sg, keys["dummy"],
+                anneals["smpl_alpha_w"], anneals["dummy_w"],
+            )
+        if opt.penalize_sharp_edge > 0 or opt.penalize_hard_surface > 0:
+            losses["sparsity_reg"] = sparsity_reg(
+                params,
+                (keys["can_cam"], keys["can_pix"], keys["can_perturb"]),
+                ctx["interval_comp"],
+            )
+
+        total_z, total_sg, total_rgb_c = fused.sort_merge_planar(
+            [fine_z, human_z], [f_sg, h_sg], [f_rgb_c, h_rgb_c]
+        )
+        fine_rgb_map, _, _, _, _ = fused.integrate_planar(
+            total_sg, total_rgb_c, total_z, dir_norm, white_bkg=opt.white_bkg
+        )
+        hit = batch["is_hit"].astype(jnp.float32)
+        se = jnp.mean((fine_rgb_map - batch["color"]) ** 2, axis=-1)
+        losses["fine_rgb_loss"] = _masked_mean(se, hit)
+
+        if opt.penalize_lpips > 0 and ctx["lpips_params"] is not None:
+            pred = fine_rgb_map[:PATCH_SIZE_SQUARED].reshape(
+                PATCH_SIZE, PATCH_SIZE, 3
+            )
+            gt = batch["color"][:PATCH_SIZE_SQUARED].reshape(
+                PATCH_SIZE, PATCH_SIZE, 3
+            )
+            d = lpips_module.lpips(
+                ctx["lpips_params"],
+                jnp.transpose(pred, (2, 0, 1))[None] * 2 - 1,
+                jnp.transpose(gt, (2, 0, 1))[None] * 2 - 1,
+            )[0]
+            losses["lpips_loss"] = (
+                d * opt.penalize_lpips * batch["patch_counter"].astype(jnp.float32)
+            )
+
+        dead = h_sg.max() <= 0.0
         losses = {k: jnp.where(dead, 0.0, v) for k, v in losses.items()}
         losses["rgb_loss"] = (
             losses["fine_rgb_loss"] + losses["color_range_reg"] + losses["lpips_loss"]

@@ -235,3 +235,131 @@ def test_turn_smpl_gradient_off():
     for j in (1, 2, 4, 5, 7, 8, 10, 11, 12, 15, 16, 17, 18, 19, 20, 21, 22, 23):
         np.testing.assert_allclose(m[j], 0.0)
     np.testing.assert_allclose(m[0], 1.0)  # pelvis always trainable
+
+
+def test_human_loss_planar_matches_reference():
+    """The planarized human loss equals the reference-shaped formulation."""
+    import jax.numpy as jnp
+
+    from neuman_tpu.parallel.dryrun import synthetic_arrays, tiny_human_config
+    from neuman_tpu.models import smpl as smpl_module
+    from neuman_tpu.ops import mesh as mesh_ops
+    from neuman_tpu.datasets import sampler as ds_sampler
+    from neuman_tpu.trainers.human import (
+        compute_anneals,
+        make_human_loss_fn,
+        make_human_loss_fn_reference,
+    )
+
+    cfg = tiny_human_config(1)
+    cfg.compute_dtype = "float32"
+    cfg.rays_per_batch = 64
+    num_views = 4
+    body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=24)
+    arrays = synthetic_arrays(num_views=num_views, num_verts=body.num_verts)
+    spec = hn.build_human_nerf_spec(cfg)
+    rng = np.random.default_rng(0)
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec,
+        poses=rng.normal(size=(num_views, 72)).astype(np.float32) * 0.1,
+        betas=rng.normal(size=(num_views, 10)).astype(np.float32) * 0.1,
+        alignments=np.tile(np.eye(4, dtype=np.float32)[None], (num_views, 1, 1)),
+    )
+    topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
+    ctx = {
+        "body_model": body,
+        "da_smpl": hn.da_pose_params(24),
+        "scale": 1.0,
+        "topo": topo,
+        "can_verts": arrays.verts,
+        "can_k": arrays.intrinsics[:2],
+        "can_c2w": arrays.c2w[:2],
+        "can_hw": (36, 48),
+        "interval_comp": 1.3,
+        "lpips_params": None,
+        "scene_ids": jnp.arange(num_views, dtype=jnp.int32),
+        "grad_masks": jnp.ones((num_views, 72)),
+        "knn_k": 4,
+    }
+    key = jax.random.PRNGKey(7)
+    batch = ds_sampler.sample_human_batch(
+        key, arrays, jnp.arange(num_views, dtype=jnp.int32), cfg.geo_threshold,
+        cfg.rays_per_batch, ratios=(0.95, 0.0, 0.05), use_patch=False, dilation=0,
+    )
+    keys = {
+        n: k
+        for n, k in zip(
+            ("perturb", "offset", "color", "dummy", "can_cam", "can_pix",
+             "can_perturb"),
+            jax.random.split(key, 7),
+        )
+    }
+    anneals = compute_anneals(cfg, jnp.int32(10))
+
+    ref_fn = make_human_loss_fn_reference(spec, cfg, ctx)
+    new_fn = make_human_loss_fn(spec, cfg, ctx)
+    total_ref, aux_ref = ref_fn(params, batch, keys, anneals)
+    total_new, aux_new = new_fn(params, batch, keys, anneals)
+
+    for name in aux_ref["losses"]:
+        a = float(aux_ref["losses"][name])
+        b = float(aux_new["losses"][name])
+        assert np.isclose(a, b, rtol=1e-4, atol=1e-5), (name, a, b)
+    # gradients agree too (trainable keys)
+    g_ref = jax.grad(lambda p: ref_fn(p, batch, keys, anneals)[0])(params)
+    g_new = jax.grad(lambda p: new_fn(p, batch, keys, anneals)[0])(params)
+    np.testing.assert_allclose(
+        np.asarray(g_new["poses"]), np.asarray(g_ref["poses"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_new["coarse_human_net"]["pts_linears"][0]["w"]),
+        np.asarray(g_ref["coarse_human_net"]["pts_linears"][0]["w"]),
+        atol=1e-4,
+    )
+
+
+def test_bkg_loss_planar_matches_reference():
+    """Planarized bkg loss equals the apply_joiner/raw2outputs formulation."""
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import nerf as nm
+    from neuman_tpu.ops import rays as ray_ops
+    from neuman_tpu.ops import volume
+    from neuman_tpu.parallel.dryrun import synthetic_arrays
+    from neuman_tpu.datasets import sampler as ds_sampler
+    from neuman_tpu.trainers.background import bkg_loss_fn
+
+    cfg = apply_mode_defaults(NeuManConfig(), "bkg")
+    cfg.nerf_depth = 2
+    cfg.nerf_width = 32
+    cfg.pos_N_freqs = 4
+    cfg.pos_max_freq = 3
+    cfg.dir_N_freqs = 2
+    cfg.dir_max_freq = 1
+    cfg.samples_per_ray = 8
+    cfg.importance_samples_per_ray = 8
+    cfg.rays_per_batch = 64
+    cfg.compute_dtype = "float32"
+
+    arrays = synthetic_arrays(num_views=4)
+    spec = nm.build_nerf_specs(cfg)
+    params = {
+        "coarse": nm.init_nerf_params(jax.random.PRNGKey(0), spec.nerf),
+        "fine": nm.init_nerf_params(jax.random.PRNGKey(1), spec.nerf),
+    }
+    key = jax.random.PRNGKey(5)
+    batch = ds_sampler.sample_background_batch(
+        key, arrays, jnp.arange(4, dtype=jnp.int32), 64
+    )
+    keys = tuple(jax.random.split(key, 3))
+    got = bkg_loss_fn(params, spec, batch, cfg, 0.1, keys)
+
+    # manual reference formulation
+    pts, dirs, z = ray_ops.ray_to_samples(
+        batch["origin"], batch["direction"], batch["near"], batch["far"],
+        8, key=keys[0], perturb=cfg.perturb,
+    )
+    out = nm.apply_joiner(spec, params["coarse"], pts, dirs)
+    rgb, _, _, w, _ = volume.raw2outputs(out, z, dirs[:, 0, :])
+    exp_coarse = float(jnp.mean((rgb - batch["color"]) ** 2))
+    assert np.isclose(float(got[0]), exp_coarse, rtol=1e-4), (float(got[0]), exp_coarse)
