@@ -163,6 +163,63 @@ def render_vanilla(
 
 
 # ---------------------------------------------------------------------------
+# planarized chunk implementations (the production path; the
+# reference-shaped versions below remain as parity oracles)
+# ---------------------------------------------------------------------------
+
+
+def _human_branch_planar(
+    spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
+    samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
+):
+    """Geometry-guided human samples -> (warp) -> canonical MLP, planar.
+
+    Returns (hit [R], z [R, S], sigma [R, S], rgb_c 3x[R, S]).
+    """
+    from neuman_tpu.ops import fused
+
+    near, far = ray_ops.geometry_guided_near_far(
+        origins, dirs, posed_verts, geo_threshold
+    )
+    hit = near < far
+    s_near = jnp.where(hit, near, 0.0)[:, None]
+    s_far = jnp.where(hit, far, 1.0)[:, None]
+    z = ray_ops.sample_z_vals(s_near, s_far, samples_per_ray)
+    r, s = z.shape
+    planes = [
+        origins[:, a][:, None] + dirs[:, a][:, None] * z for a in range(3)
+    ]
+    if render_can:
+        can_planes = planes
+        sg, rgb_c = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], can_planes,
+            [dirs[:, a] for a in range(3)], compute_dtype,
+        )
+    else:
+        flat = jnp.stack([p.reshape(-1) for p in planes], axis=-1)
+        _, f_id, closest_cols = mesh_ops.point_mesh_closest_planar(
+            flat, posed_verts, topology, k=knn_k
+        )
+        aff = mesh_ops._blend_inverse_affine(
+            closest_cols, f_id, posed_verts, Ts, topology
+        )
+        can_cols = mesh_ops.apply_affine_cols(
+            aff, (flat[:, 0], flat[:, 1], flat[:, 2])
+        )
+        can_planes = [c.reshape(r, s) for c in can_cols]
+        diffs = [p[:, 1:] - p[:, :-1] for p in can_planes]
+        diffs = [jnp.concatenate([p, p[:, -1:]], axis=1) for p in diffs]
+        norm = jnp.sqrt(diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2) + 1e-20
+        can_dir_planes = [p / norm for p in diffs]
+        sg, rgb_c = fused.mlp_planar(
+            spec.human, params["coarse_human_net"], can_planes, can_dir_planes,
+            compute_dtype, dirs_per_ray=False,
+        )
+    sg = sg * interval_comp
+    return hit, z, sg, rgb_c
+
+
+# ---------------------------------------------------------------------------
 # human-only renderer (ref: render_utils.py:164-246)
 # ---------------------------------------------------------------------------
 
@@ -204,11 +261,43 @@ def _smpl_chunk(
     return rgb, depth, acc
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "white_bkg", "render_can", "knn_k",
+        "compute_dtype_name",
+    ),
+)
+def _smpl_chunk_planar(
+    spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
+    interval_comp, samples_per_ray, white_bkg, render_can, knn_k,
+    compute_dtype_name="bfloat16",
+):
+    from neuman_tpu.ops import fused
+
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
+    hit, z, sg, rgb_c = _human_branch_planar(
+        spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
+        samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
+    )
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)
+    rgb, _, acc, _, depth = fused.integrate_planar(
+        sg, rgb_c, z, dir_norm, white_bkg=white_bkg
+    )
+    miss_color = 1.0 if white_bkg else 0.0
+    rgb = jnp.where(hit[:, None], rgb, miss_color)
+    depth = jnp.where(hit, depth, 0.0)
+    acc = jnp.where(hit, acc, 0.0)
+    return rgb, depth, acc
+
+
 def render_smpl_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, white_bkg=True, render_can=False,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
-    interval_comp=1.0, knn_k=8,
+    interval_comp=1.0, knn_k=8, planar=True, compute_dtype_name="bfloat16",
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -220,12 +309,21 @@ def render_smpl_nerf(
         Ts = jnp.tile(jnp.eye(4)[None], (posed_verts.shape[0], 1, 1))
     else:
         Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
-    fn = lambda o, d: _smpl_chunk(
-        spec, params, topology, o, d, posed_verts, Ts,
-        jnp.float32(geo_threshold), jnp.float32(interval_comp),
-        samples_per_ray=samples_per_ray, white_bkg=white_bkg,
-        render_can=render_can, knn_k=knn_k,
-    )
+    if planar:
+        fn = lambda o, d: _smpl_chunk_planar(
+            spec, params, topology, o, d, posed_verts, Ts,
+            jnp.float32(geo_threshold), jnp.float32(interval_comp),
+            samples_per_ray=samples_per_ray, white_bkg=white_bkg,
+            render_can=render_can, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name,
+        )
+    else:
+        fn = lambda o, d: _smpl_chunk(
+            spec, params, topology, o, d, posed_verts, Ts,
+            jnp.float32(geo_threshold), jnp.float32(interval_comp),
+            samples_per_ray=samples_per_ray, white_bkg=white_bkg,
+            render_can=render_can, knn_k=knn_k,
+        )
     rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
@@ -304,10 +402,73 @@ def _hybrid_chunk(
     return rgb, depth, acc
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "knn_k", "compute_dtype_name",
+    ),
+)
+def _hybrid_chunk_planar(
+    spec, params, topology, origins, dirs, bkg_near, bkg_far, posed_verts, Ts,
+    geo_threshold, samples_per_ray, importance_samples_per_ray, white_bkg,
+    knn_k, compute_dtype_name="bfloat16",
+):
+    from neuman_tpu.ops import fused
+
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
+    d_ax = [dirs[:, a] for a in range(3)]
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)
+
+    # background: coarse -> importance -> fine (planar)
+    z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
+    planes = [origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)]
+    sg, rgb_c = fused.mlp_planar(
+        spec.bkg, params["coarse_bkg_net"], planes, d_ax, compute_dtype
+    )
+    _, _, _, w, _ = fused.integrate_planar(
+        sg, rgb_c, z, dir_norm, white_bkg=white_bkg
+    )
+    f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
+    planes = [origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
+    f_sg, f_rgb_c = fused.mlp_planar(
+        spec.bkg, params["fine_bkg_net"], planes, d_ax, compute_dtype
+    )
+
+    # human branch; misses become far dummy samples with zero density
+    hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
+        spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
+        samples_per_ray, False, knn_k, 1.0, compute_dtype,
+    )
+    dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * bkg_far[..., :1] * 2.0
+    h_z = jnp.where(hit[:, None], h_z, dummy_z)
+    h_sg = jnp.where(hit[:, None], h_sg, -1e9)
+
+    total_z, total_sg, total_rgb_c = fused.sort_merge_planar(
+        [f_z, h_z], [f_sg, h_sg], [f_rgb_c, h_rgb_c]
+    )
+    merged_rgb, _, _, _, merged_depth = fused.integrate_planar(
+        total_sg, total_rgb_c, total_z, dir_norm, white_bkg=white_bkg
+    )
+    bkg_rgb, _, _, _, bkg_depth = fused.integrate_planar(
+        f_sg, f_rgb_c, f_z, dir_norm, white_bkg=white_bkg
+    )
+    _, _, h_acc, _, _ = fused.integrate_planar(
+        h_sg, h_rgb_c, h_z, dir_norm, white_bkg=white_bkg
+    )
+    rgb = jnp.where(hit[:, None], merged_rgb, bkg_rgb)
+    depth = jnp.where(hit, merged_depth, bkg_depth)
+    acc = jnp.where(hit, h_acc, 0.0)
+    return rgb, depth, acc
+
+
 def render_hybrid_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
+    planar=True, compute_dtype_name="bfloat16",
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -318,13 +479,23 @@ def render_hybrid_nerf(
     Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
     bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
     bkg_far = jnp.full((rays_per_batch, 1), cap.far["bkg"], jnp.float32)
-    fn = lambda o, d: _hybrid_chunk(
-        spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
-        jnp.float32(geo_threshold),
-        samples_per_ray=samples_per_ray,
-        importance_samples_per_ray=importance_samples_per_ray,
-        white_bkg=white_bkg, knn_k=knn_k,
-    )
+    if planar:
+        fn = lambda o, d: _hybrid_chunk_planar(
+            spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
+            jnp.float32(geo_threshold),
+            samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name,
+        )
+    else:
+        fn = lambda o, d: _hybrid_chunk(
+            spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
+            jnp.float32(geo_threshold),
+            samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, knn_k=knn_k,
+        )
     rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)

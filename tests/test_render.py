@@ -190,3 +190,38 @@ def test_offset_net_switch(model_bundle):
         nerf_module.apply_offset_net(spec.offset, params["offset_nets"][2], x, 1.0)
     )
     np.testing.assert_allclose(outs[2], direct, atol=1e-6)
+
+
+def test_planar_render_chunks_match_reference(model_bundle):
+    """Planar smpl/hybrid chunks == reference-shaped chunks at f32."""
+    _, spec, params, body, da = model_bundle
+    cap = tiny_cap()
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=0)
+    verts = np.asarray(wv[0])
+    Ts = np.asarray(t[0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+
+    kw = dict(
+        rays_per_batch=64, samples_per_ray=8, geo_threshold=0.3, knn_k=4,
+    )
+    rgb_p, d_p = renderer.render_smpl_nerf(
+        spec, params, cap, verts, faces, Ts, return_depth=True,
+        planar=True, compute_dtype_name="float32", **kw,
+    )
+    rgb_r, d_r = renderer.render_smpl_nerf(
+        spec, params, cap, verts, faces, Ts, return_depth=True,
+        planar=False, **kw,
+    )
+    np.testing.assert_allclose(rgb_p, rgb_r, atol=2e-4)
+    np.testing.assert_allclose(d_p, d_r, atol=2e-3)
+
+    rgb_p, d_p = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, importance_samples_per_ray=8,
+        return_depth=True, planar=True, compute_dtype_name="float32", **kw,
+    )
+    rgb_r, d_r = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, importance_samples_per_ray=8,
+        return_depth=True, planar=False, **kw,
+    )
+    np.testing.assert_allclose(rgb_p, rgb_r, atol=2e-4)
+    np.testing.assert_allclose(d_p, d_r, atol=2e-3)
