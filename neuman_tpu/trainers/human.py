@@ -903,11 +903,18 @@ class HumanNeRFTrainer:
         return int(self.state["iteration"])
 
     def train(self):
+        import tqdm
+
+        pbar = tqdm.tqdm(
+            total=self.opt.max_iter, initial=self.iteration, desc="Train",
+            ncols=80,
+        )
         while self.iteration < self.opt.max_iter:
             if self.iteration % self.opt.valid_iter == 0:
                 self.validate()
             self.state, metrics = self.step_fn(self.state)
             self.meter.tick()
+            pbar.update(1)
             if self.iteration % 100 == 0:
                 scalars = {
                     f"train_loss/{k}": float(v)
@@ -920,6 +927,7 @@ class HumanNeRFTrainer:
                     {f"perf/{k}": v for k, v in self.meter.rates().items()}
                 )
                 self.pusher.push_scalars(self.iteration, scalars)
+        pbar.close()
         self.validate()
 
     def validate(self):

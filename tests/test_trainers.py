@@ -363,3 +363,56 @@ def test_bkg_loss_planar_matches_reference():
     rgb, _, _, w, _ = volume.raw2outputs(out, z, dirs[:, 0, :])
     exp_coarse = float(jnp.mean((rgb - batch["color"]) ** 2))
     assert np.isclose(float(got[0]), exp_coarse, rtol=1e-4), (float(got[0]), exp_coarse)
+
+
+def test_smpl_only_mode_freezes_offset_nets(scene, tmp_path):
+    from neuman_tpu.data_io.neuman import NeuManReader
+
+    cfg = small_cfg(tmp_path, "smpl_only")
+    cfg.offset_scale = 0.0
+    cfg.rays_per_batch = 64
+    body_model = NeuManReader._body_model()
+    spec = hn.build_human_nerf_spec(cfg)
+    poses = np.stack([s["pose"] for s in scene.smpls])
+    betas = np.stack([s["betas"] for s in scene.smpls])
+    aligns = np.tile(np.eye(4, dtype=np.float32)[None], (len(scene.captures), 1, 1))
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec, poses, betas, aligns
+    )
+    trainer = HumanNeRFTrainer(
+        cfg, spec, params, scene, list(range(8)), [8], body_model,
+    )
+    off0 = np.asarray(
+        trainer.state["params"]["offset_nets"][0]["pts_linears"][0]["w"]
+    ).copy()
+    human0 = np.asarray(
+        trainer.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]
+    ).copy()
+    trainer.state, metrics = trainer.step_fn(trainer.state)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # offset nets frozen in smpl_only mode; canonical net trains
+    np.testing.assert_allclose(
+        np.asarray(trainer.state["params"]["offset_nets"][0]["pts_linears"][0]["w"]),
+        off0,
+    )
+    assert not np.allclose(
+        np.asarray(trainer.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]),
+        human0,
+    )
+
+
+def test_nerft_ablation_step(scene, tmp_path):
+    """ablate_nerft: 4-D positional encoding with a time channel."""
+    cfg = small_cfg(tmp_path, "bkg")
+    cfg.ablate_nerft = True
+    cfg.raw_pos_dim = 4
+    spec = nerf_module.build_nerf_specs(cfg)
+    assert spec.nerf.input_ch == 4 + 2 * cfg.pos_N_freqs * 4
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": nerf_module.init_nerf_params(key, spec.nerf),
+        "fine": nerf_module.init_nerf_params(jax.random.fold_in(key, 1), spec.nerf),
+    }
+    trainer = NeRFTrainer(cfg, spec, params, scene, [0, 1], [2])
+    trainer.state, metrics = trainer.step_fn(trainer.state)
+    assert np.isfinite(float(metrics["total_loss"]))
