@@ -277,7 +277,16 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
     v2 = jnp.sum(verts * verts, axis=-1)[None, :]
     p2 = jnp.sum(points * points, axis=-1)[:, None]
     d2_pv = p2 + v2 - 2.0 * (points @ verts.T)
-    _, knn_idx = jax.lax.top_k(-d2_pv, k)  # [N, k]
+    # On TPU: approx_max_k, the hardware-optimized bucketed top-k
+    # (lax.top_k lowers to a full per-row sort — measured seconds per step
+    # at [200k, 6890]); the recall target keeps the true nearest vertices
+    # in the candidate set with overwhelming probability, further protected
+    # by taking k candidates x incident faces. On CPU (tests): exact top_k
+    # (approx_max_k's CPU fallback is pathologically slow).
+    if jax.default_backend() == "tpu":
+        _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
+    else:
+        _, knn_idx = jax.lax.top_k(-d2_pv, k)
     cand = topology.incidence[knn_idx].reshape(n_pts, -1)  # [N, C]
     valid = cand >= 0
     cand_safe = jnp.maximum(cand, 0)

@@ -45,8 +45,18 @@ def _cap_rays(cap):
     return origins, dirs
 
 
-def _chunked(fn, arrays, total, chunk):
-    """Apply jitted `fn` over fixed-size chunks (last chunk zero-padded)."""
+def _chunked(fn, arrays, total, chunk, mesh=None, data_axis="data"):
+    """Apply jitted `fn` over fixed-size chunks (last chunk zero-padded).
+
+    With `mesh`, each chunk's ray axis is device_put row-sharded over the
+    mesh before the call, so XLA partitions the whole chunk computation
+    across chips (render-time data parallelism; rays are independent).
+    """
+    sharding = None
+    if mesh is not None:
+        from neuman_tpu.parallel.mesh import row_sharded
+
+        sharding = row_sharded(mesh, data_axis)
     outs = []
     for i in range(0, total, chunk):
         sl = []
@@ -57,6 +67,8 @@ def _chunked(fn, arrays, total, chunk):
                 piece = jnp.concatenate(
                     [piece, jnp.repeat(piece[-1:], pad, axis=0)], axis=0
                 )
+            if sharding is not None and piece.shape[0] % mesh.devices.size == 0:
+                piece = jax.device_put(piece, sharding)
             sl.append(piece)
         outs.append(fn(*sl))
     return [
@@ -113,7 +125,7 @@ def render_vanilla(
     spec, coarse_params, cap, fine_params=None, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     near_far_source="bkg", return_depth=False, ablate_nerft=False,
-    compute_dtype_name="bfloat16",
+    compute_dtype_name="bfloat16", mesh=None,
 ):
     origins, dirs = _cap_rays(cap)
     total = origins.shape[0]
@@ -139,7 +151,9 @@ def render_vanilla(
             white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
             use_fine=fine_params is not None,
         )
-        rgb, depth = _chunked(fn, [origins, dirs], total, rays_per_batch)
+        rgb, depth = _chunked(
+            fn, [origins, dirs], total, rays_per_batch, mesh=mesh
+        )
         rgb = np.asarray(rgb).reshape(*cap.shape, -1)
         depth = np.asarray(depth).reshape(*cap.shape)
         if return_depth:
@@ -298,6 +312,7 @@ def render_smpl_nerf(
     samples_per_ray=64, white_bkg=True, render_can=False,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
     interval_comp=1.0, knn_k=8, planar=True, compute_dtype_name="bfloat16",
+    mesh=None,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -324,7 +339,9 @@ def render_smpl_nerf(
             samples_per_ray=samples_per_ray, white_bkg=white_bkg,
             render_can=render_can, knn_k=knn_k,
         )
-    rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
+    rgb, depth, acc = _chunked(
+        fn, [origins, dirs], total, rays_per_batch, mesh=mesh
+    )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     acc = np.asarray(acc).reshape(*cap.shape)
@@ -468,7 +485,7 @@ def render_hybrid_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
-    planar=True, compute_dtype_name="bfloat16",
+    planar=True, compute_dtype_name="bfloat16", mesh=None,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -496,7 +513,9 @@ def render_hybrid_nerf(
             importance_samples_per_ray=importance_samples_per_ray,
             white_bkg=white_bkg, knn_k=knn_k,
         )
-    rgb, depth, acc = _chunked(fn, [origins, dirs], total, rays_per_batch)
+    rgb, depth, acc = _chunked(
+        fn, [origins, dirs], total, rays_per_batch, mesh=mesh
+    )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     if return_depth:

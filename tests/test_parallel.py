@@ -97,3 +97,30 @@ def test_bkg_train_step_sharded_matches_unsharded():
     w_s = np.asarray(state_single["params"]["coarse"]["pts_linears"][0]["w"])
     w_m = np.asarray(state_sharded["params"]["coarse"]["pts_linears"][0]["w"])
     np.testing.assert_allclose(w_s, w_m, atol=1e-5)
+
+
+def test_mesh_sharded_render_matches_single_device():
+    """Full-image render sharded over the 8-device mesh == unsharded."""
+    import numpy as np
+
+    from tests.test_render import tiny_cap, tiny_opt
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.render import renderer
+
+    opt = tiny_opt()
+    spec = hn.build_human_nerf_spec(opt)
+    params = hn.init_human_nerf_params(jax.random.PRNGKey(0), spec)
+    cap = tiny_cap(h=16, w=16)  # 256 rays, divisible by 8
+    kw = dict(
+        fine_params=params["fine_bkg_net"], rays_per_batch=256,
+        samples_per_ray=8, importance_samples_per_ray=8, return_depth=True,
+        compute_dtype_name="float32",
+    )
+    rgb1, d1 = renderer.render_vanilla(
+        spec.bkg, params["coarse_bkg_net"], cap, **kw
+    )
+    rgb8, d8 = renderer.render_vanilla(
+        spec.bkg, params["coarse_bkg_net"], cap, mesh=make_mesh(8), **kw
+    )
+    np.testing.assert_allclose(rgb8, rgb1, atol=1e-5)
+    np.testing.assert_allclose(d8, d1, atol=1e-4)
