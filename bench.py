@@ -92,19 +92,23 @@ def main():
     near = jnp.full((R, 1), 0.5)
     far = jnp.full((R, 1), 4.0)
 
-    # compile + warmup; inputs vary per iteration and every result is read
-    # back to the host (block_until_ready is not a reliable completion
-    # barrier through the axon relay), so the timing is honest end-to-end
+    # compile + warmup. Timing protocol: inputs vary per iteration (nothing
+    # can be elided), and each iteration is forced by reading back a SCALAR
+    # device-side reduction of the outputs — block_until_ready is not a
+    # reliable completion barrier through the axon relay, and full-array
+    # readbacks would time the host tunnel instead of the chip.
+    import jax.numpy as _jnp
     import numpy as _np
 
+    force = jax.jit(lambda o: _jnp.sum(o[0]) + _jnp.sum(o[1]))
     out = fn(coarse, fine, origins, dirs, near, far)
-    _np.asarray(out[0])
+    float(force(out))
 
     times = []
     for i in range(args.iters):
         t0 = time.time()
         out = fn(coarse, fine, origins + (i + 1) * 1e-5, dirs, near, far)
-        _np.asarray(out[0])
+        float(force(out))
         times.append(time.time() - t0)
     dt = float(_np.median(times)) * args.iters
 

@@ -242,6 +242,22 @@ def _gather_corner_coords(verts, faces, corner, idx):
     return (verts[:, 0][vid], verts[:, 1][vid], verts[:, 2][vid]), vid
 
 
+def _packed_face_table(values, faces, pad_to=None):
+    """Pack per-vertex values at the 3 corners of every face into one
+    row-gatherable table.
+
+    TPU gathers pay per-INDEX, not per-byte: nine separate [N, C] scalar
+    gathers measured 2.5s where ONE [N, C] row gather with a packed payload
+    takes ~0.1s. values: [V(+J), E]; returns [F, 3*E (padded)] with layout
+    [corner0 | corner1 | corner2].
+    """
+    f = faces.shape[0]
+    packed = values[faces].reshape(f, -1)  # [F, 3*E], corner-major
+    if pad_to is not None and packed.shape[1] < pad_to:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_to - packed.shape[1])))
+    return packed
+
+
 # ---------------------------------------------------------------------------
 # point -> mesh closest queries
 # ---------------------------------------------------------------------------
@@ -292,9 +308,11 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
     cand_safe = jnp.maximum(cand, 0)
 
     p_cols = (points[:, 0:1], points[:, 1:2], points[:, 2:3])  # [N, 1]
-    a, _ = _gather_corner_coords(verts, faces, 0, cand_safe)  # [N, C] x3
-    b, _ = _gather_corner_coords(verts, faces, 1, cand_safe)
-    c, _ = _gather_corner_coords(verts, faces, 2, cand_safe)
+    tri = _packed_face_table(verts, faces, pad_to=16)
+    rows = tri[cand_safe]  # [N, C, 16] — ONE row gather for all 9 coords
+    a = (rows[..., 0], rows[..., 1], rows[..., 2])
+    b = (rows[..., 3], rows[..., 4], rows[..., 5])
+    c = (rows[..., 6], rows[..., 7], rows[..., 8])
     cp = closest_point_on_triangles_planar(p_cols, a, b, c)
     d2 = (
         (cp[0] - p_cols[0]) ** 2
@@ -381,18 +399,28 @@ def barycentric_coordinates(closest, tri):
     return jnp.stack([u, v, w], axis=1)
 
 
+def _corners_at(verts, topology, f_id):
+    """Corner coordinate tuples at face ids via one packed row gather."""
+    rows = _packed_face_table(verts, topology.faces, pad_to=16)[f_id]  # [N, 16]
+    return (
+        (rows[:, 0], rows[:, 1], rows[:, 2]),
+        (rows[:, 3], rows[:, 4], rows[:, 5]),
+        (rows[:, 6], rows[:, 7], rows[:, 8]),
+    )
+
+
 def _signed_distance_planar(points, verts, topology: MeshTopology, k=8):
     """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
     faces = topology.faces
     d2, f_id, closest = point_mesh_closest_planar(points, verts, topology, k=k)
     vn = angle_weighted_vertex_normals(verts, faces)
-    c0, i0 = _gather_corner_coords(verts, faces, 0, f_id)
-    c1, i1 = _gather_corner_coords(verts, faces, 1, f_id)
-    c2, i2 = _gather_corner_coords(verts, faces, 2, f_id)
+    c0, c1, c2 = _corners_at(verts, topology, f_id)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
     # pseudonormal at the closest point: bary-weighted vertex pseudonormals
+    vrows = _packed_face_table(vn, faces, pad_to=16)[f_id]  # [N, 16]
     normal = tuple(
-        u * vn[:, a][i0] + v * vn[:, a][i1] + w * vn[:, a][i2] for a in range(3)
+        u * vrows[:, a] + v * vrows[:, 3 + a] + w * vrows[:, 6 + a]
+        for a in range(3)
     )
     p_cols = (points[:, 0], points[:, 1], points[:, 2])
     sign = jnp.sign(_dot3(_sub3(p_cols, closest), normal))
@@ -449,18 +477,17 @@ def _blend_inverse_affine(closest, f_id, verts, T, topology: MeshTopology,
     is the affine closed form: R' = inv3x3(R) via adjugate, t' = -R' t.
     Returns 12 columns (i00..i22, t0', t1', t2') of shape [N].
     """
-    faces = topology.faces
-    c0, i0 = _gather_corner_coords(verts, faces, 0, f_id)
-    c1, i1 = _gather_corner_coords(verts, faces, 1, f_id)
-    c2, i2 = _gather_corner_coords(verts, faces, 2, f_id)
+    c0, c1, c2 = _corners_at(verts, topology, f_id)
     if differentiable:
         closest = tuple(jax.lax.stop_gradient(c) for c in closest)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
 
-    t16 = T.reshape(T.shape[0], 16)
+    # rows 0..2 of each corner's 4x4 (last row is (0,0,0,1)), one row gather
+    t12 = T.reshape(T.shape[0], 16)[:, :12]
+    trows = _packed_face_table(t12, topology.faces)[f_id]  # [N, 36]
     m = [
-        u * t16[:, j][i0] + v * t16[:, j][i1] + w * t16[:, j][i2]
-        for j in range(12)  # rows 0..2 of the 4x4; last row is (0,0,0,1)
+        u * trows[:, j] + v * trows[:, 12 + j] + w * trows[:, 24 + j]
+        for j in range(12)
     ]
     m00, m01, m02, t0, m10, m11, m12, t1, m20, m21, m22, t2 = m
     det = (
