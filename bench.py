@@ -27,7 +27,9 @@ def main():
     parser.add_argument("--importance", type=int, default=128)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", type=str, default="bfloat16")
-    parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--pallas", action="store_true", default=None,
+                        help="fused Pallas kernel (default: on for TPU)")
+    parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.add_argument("--naive", action="store_true")
     args = parser.parse_args()
 
@@ -48,6 +50,8 @@ def main():
 
     R, S, I = args.rays, args.samples, args.importance
 
+    if args.pallas is None:
+        args.pallas = jax.default_backend() == "tpu" and not args.naive
     if args.pallas:
         from neuman_tpu.ops.pallas.raymarch import make_fused_render
 

@@ -373,12 +373,30 @@ def make_human_loss_fn(spec, opt, ctx):
     """
     from neuman_tpu.ops import fused
 
+    def fused_mlp(jspec, prm, pl, d, dtype, per_ray=True):
+        return fused.mlp_planar(jspec, prm, pl, d, dtype, dirs_per_ray=per_ray)
+
     body_model = ctx["body_model"]
     da_smpl = ctx["da_smpl"]
     scene_scale = ctx["scale"]
     topo = ctx["topo"]
     knn_k = ctx["knn_k"]
     cd = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+
+    # rematerialized (checkpointed) hot ops: the mesh-query gather rows and
+    # MLP activations dominate backward-pass memory; recomputing them in the
+    # bwd trades ~30% extra FLOPs for fitting reference-scale batches in HBM
+    warp_ckpt = jax.checkpoint(
+        lambda flat, v, t: mesh_ops.warp_points_to_canonical_diff(
+            flat, v, t, topo, k=knn_k
+        )
+    )
+    human_mlp_ray = jax.checkpoint(
+        lambda prm, pl, d: fused_mlp(spec.human, prm, pl, d, cd)
+    )
+    human_mlp_smp = jax.checkpoint(
+        lambda prm, pl, d: fused_mlp(spec.human, prm, pl, d, cd, False)
+    )
 
     def ray_planes(origin, direction, z):
         return [
@@ -441,9 +459,7 @@ def make_human_loss_fn(spec, opt, ctx):
             spec, params, body_model, da_smpl, scene_scale, scene_id
         )
         flat = jnp.stack([p.reshape(-1) for p in planes], axis=-1)  # [N, 3]
-        can_flat, f_id, _ = mesh_ops.warp_points_to_canonical_diff(
-            flat, verts[0], raw_ts[0], topo, k=knn_k
-        )
+        can_flat, f_id, _ = warp_ckpt(flat, verts[0], raw_ts[0])
         can_planes = [
             can_flat[:, a].reshape(r, s) + off[a] for a in range(3)
         ]
@@ -451,9 +467,8 @@ def make_human_loss_fn(spec, opt, ctx):
         diffs = [jnp.concatenate([p, p[:, -1:]], axis=1) for p in diffs]
         norm = jnp.sqrt(diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2) + 1e-20
         can_dir_planes = [p / norm for p in diffs]
-        sg, rgb_c = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], can_planes, can_dir_planes,
-            cd, dirs_per_ray=False,
+        sg, rgb_c = human_mlp_smp(
+            params["coarse_human_net"], can_planes, can_dir_planes
         )
         dir_norm = jnp.linalg.norm(direction, axis=-1)
         return dir_norm, z, can_planes, can_dir_planes, sg, rgb_c
@@ -463,10 +478,7 @@ def make_human_loss_fn(spec, opt, ctx):
         dummy = jax.random.normal(key, (r, s, 3))
         dummy = dummy / jnp.linalg.norm(dummy, axis=-1, keepdims=True)
         d_planes = [dummy[..., a] for a in range(3)]
-        _, d_rgb = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], can_planes, d_planes, cd,
-            dirs_per_ray=False,
-        )
+        _, d_rgb = human_mlp_smp(params["coarse_human_net"], can_planes, d_planes)
         se = sum(
             jnp.sum((jax.nn.sigmoid(d_rgb[c]) - jax.nn.sigmoid(rgb_c[c])) ** 2)
             for c in range(3)
@@ -480,10 +492,7 @@ def make_human_loss_fn(spec, opt, ctx):
             jax.lax.stop_gradient(can_planes[2]),
         ]
         d_sg = [jax.lax.stop_gradient(p) for p in can_dir_planes]
-        sg_flip, _ = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], flip, d_sg, cd,
-            dirs_per_ray=False,
-        )
+        sg_flip, _ = human_mlp_smp(params["coarse_human_net"], flip, d_sg)
         return (
             jnp.mean(
                 (jnp.tanh(jax.nn.relu(sg)) - jnp.tanh(jax.nn.relu(sg_flip))) ** 2
@@ -505,9 +514,8 @@ def make_human_loss_fn(spec, opt, ctx):
 
         dummy = (jax.random.uniform(key, (r, s, 3)) - 0.5) * 3.0
         d_planes = [dummy[..., a] for a in range(3)]
-        d_sg, _ = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], d_planes, can_dir_planes,
-            cd, dirs_per_ray=False,
+        d_sg, _ = human_mlp_smp(
+            params["coarse_human_net"], d_planes, can_dir_planes
         )
         sd_d, _, _ = mesh_ops.signed_distance(
             dummy.reshape(-1, 3), can_verts, topo, k=knn_k
@@ -544,9 +552,7 @@ def make_human_loss_fn(spec, opt, ctx):
         )
         planes = ray_planes(origin, direction, z)
         d_ax = [direction[:, a] for a in range(3)]
-        sg, rgb_c = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], planes, d_ax, cd
-        )
+        sg, rgb_c = human_mlp_ray(params["coarse_human_net"], planes, d_ax)
         sg = sg * interval_comp
         dir_norm = jnp.linalg.norm(direction, axis=-1)
         _, _, can_mask, can_w, _ = fused.integrate_planar(
