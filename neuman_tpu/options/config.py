@@ -121,6 +121,8 @@ class NeuManConfig:
     random_view: bool = False
 
     # ---- TPU-native additions ----
+    profile_dir: Optional[str] = None  # jax.profiler trace of train steps
+    profile_steps: int = 5
     seed: int = 42
     data_axis: str = "data"  # mesh axis name for ray-batch sharding
     compute_dtype: str = "float32"  # or "bfloat16" for the MLP matmuls

@@ -915,12 +915,23 @@ class HumanNeRFTrainer:
             total=self.opt.max_iter, initial=self.iteration, desc="Train",
             ncols=80,
         )
+        profiling = False
         while self.iteration < self.opt.max_iter:
             if self.iteration % self.opt.valid_iter == 0:
                 self.validate()
+            if self.opt.profile_dir and self.iteration == 1 and not profiling:
+                import jax.profiler
+
+                jax.profiler.start_trace(self.opt.profile_dir)
+                profiling = True
             self.state, metrics = self.step_fn(self.state)
             self.meter.tick()
             pbar.update(1)
+            if profiling and self.iteration >= 1 + self.opt.profile_steps:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
             if self.iteration % 100 == 0:
                 scalars = {
                     f"train_loss/{k}": float(v)
