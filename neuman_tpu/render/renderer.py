@@ -533,7 +533,13 @@ def render_hybrid_nerf_multi_persons(
     faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
     importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
+    compute_dtype_name="bfloat16", mesh=None,
 ):
+    from neuman_tpu.ops import fused
+
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
     origins_all, dirs_all = _cap_rays(cap)
     total = origins_all.shape[0]
     bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
@@ -557,51 +563,57 @@ def render_hybrid_nerf_multi_persons(
         )
 
     def chunk_fn(origins, dirs):
-        bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_samples(
-            origins, dirs, bkg_near, bkg_far, samples_per_ray
-        )
-        bkg_out = hn.apply_coarse_bkg(bkg_spec, bkg_params, bkg_pts, bkg_dirs)
-        _, _, _, w, _ = volume.raw2outputs(
-            bkg_out, bkg_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
-        )
-        bkg_pts, bkg_dirs, bkg_z = ray_ops.ray_to_importance_samples(
-            origins, dirs, bkg_z, w, importance_samples_per_ray, det=True
-        )
-        bkg_out = hn.apply_fine_bkg(bkg_spec, bkg_params, bkg_pts, bkg_dirs)
+        d_ax = [dirs[:, a] for a in range(3)]
+        dir_norm = jnp.linalg.norm(dirs, axis=-1)
 
-        z_list, out_list = [bkg_z], [bkg_out]
+        z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
+        planes = [
+            origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)
+        ]
+        sg, rgb_c = fused.mlp_planar(
+            bkg_spec.bkg, bkg_params["coarse_bkg_net"], planes, d_ax,
+            compute_dtype,
+        )
+        _, _, _, w, _ = fused.integrate_planar(
+            sg, rgb_c, z, dir_norm, white_bkg=white_bkg
+        )
+        f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
+        planes = [
+            origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)
+        ]
+        f_sg, f_rgb_c = fused.mlp_planar(
+            bkg_spec.bkg, bkg_params["fine_bkg_net"], planes, d_ax,
+            compute_dtype,
+        )
+
+        z_list, sg_list, rgb_list = [f_z], [f_sg], [f_rgb_c]
         for spec_h, params_h, verts_h, topo_h, ts_h in actors:
-            near, far = ray_ops.geometry_guided_near_far(
-                origins, dirs, verts_h, geo_threshold
+            hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
+                spec_h, params_h, topo_h, origins, dirs, verts_h, ts_h,
+                jnp.float32(geo_threshold), samples_per_ray, False, knn_k,
+                1.0, compute_dtype,
             )
-            hit = near < far
-            h_near = jnp.where(hit, near, 0.0)[:, None]
-            h_far = jnp.where(hit, far, 1.0)[:, None]
-            h_pts, h_dirs, h_z = ray_ops.ray_to_samples(
-                origins, dirs, h_near, h_far, samples_per_ray
-            )
-            can_pts, can_dirs, _ = mesh_ops.warp_samples_to_canonical(
-                h_pts, verts_h, ts_h, topo_h, k=knn_k
-            )
-            h_out = hn.apply_coarse_human(spec_h, params_h, can_pts, can_dirs)
             dummy_z = (
                 jnp.linspace(2.0, 3.0, samples_per_ray)[None] * bkg_far[..., :1]
             )
             h_z = jnp.where(hit[:, None], h_z, dummy_z)
-            h_out = jnp.where(
-                hit[:, None, None], h_out, jnp.array([0.0, 0, 0, -1e9])
-            )
+            h_sg = jnp.where(hit[:, None], h_sg, -1e9)
             z_list.append(h_z)
-            out_list.append(h_out)
+            sg_list.append(h_sg)
+            rgb_list.append(h_rgb_c)
 
-        total_z, total_out = volume.sort_and_merge_samples(z_list, out_list)
-        rgb, _, _, _, depth = volume.raw2outputs(
-            total_out, total_z, bkg_dirs[:, 0, :], white_bkg=white_bkg
+        total_z, total_sg, total_rgb = fused.sort_merge_planar(
+            z_list, sg_list, rgb_list
+        )
+        rgb, _, _, _, depth = fused.integrate_planar(
+            total_sg, total_rgb, total_z, dir_norm, white_bkg=white_bkg
         )
         return rgb, depth
 
     fn = jax.jit(chunk_fn)
-    rgb, depth = _chunked(fn, [origins_all, dirs_all], total, rays_per_batch)
+    rgb, depth = _chunked(
+        fn, [origins_all, dirs_all], total, rays_per_batch, mesh=mesh
+    )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     if return_depth:
