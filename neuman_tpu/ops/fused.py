@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from neuman_tpu.models.embedder import EmbedderSpec
-from neuman_tpu.models.nerf import JoinerSpec, NeRFSpec
+from neuman_tpu.models.nerf import JoinerSpec
 
 
 def pe_rows(spec: EmbedderSpec, axes_cn):

@@ -14,9 +14,6 @@ samples inside the kernel).
 Falls back to interpret mode off-TPU so tests run on CPU.
 """
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

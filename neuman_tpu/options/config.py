@@ -13,7 +13,7 @@ import dataclasses
 import json
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 
@@ -206,8 +206,6 @@ def apply_mode_defaults(cfg: NeuManConfig, train_mode: str) -> NeuManConfig:
         raise ValueError(train_mode)
     return cfg
 
-
-_BOOL_FIELDS = None
 
 
 def add_cli_args(parser: argparse.ArgumentParser, cfg: NeuManConfig):

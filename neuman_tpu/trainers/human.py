@@ -404,6 +404,22 @@ def make_human_loss_fn(spec, opt, ctx):
             for a in range(3)
         ]
 
+    def bkg_mlp(prm, planes, direction, d_ax):
+        """Frozen background MLP — forward only (outputs stop-gradient), so
+        the Pallas VMEM-resident kernel applies directly when enabled."""
+        # detach the params themselves: the bkg branch is frozen (ref
+        # detaches its outputs) and pallas_call has no JVP rule, so no
+        # tangent may enter the kernel
+        prm = jax.lax.stop_gradient(prm)
+        if getattr(opt, "use_pallas", False):
+            from neuman_tpu.ops.pallas import raymarch
+
+            dirp = raymarch.dir_projection(spec.bkg, prm, direction, cd)
+            return raymarch.nerf_mlp_pallas(
+                spec.bkg, prm, planes[0], planes[1], planes[2], dirp, cd
+            )
+        return fused.mlp_planar(spec.bkg, prm, planes, d_ax, cd)
+
     def eval_bkg(params, batch):
         origin, direction = batch["origin"], batch["direction"]
         d_ax = [direction[:, a] for a in range(3)]
@@ -412,9 +428,7 @@ def make_human_loss_fn(spec, opt, ctx):
             batch["bkg_near"], batch["bkg_far"], opt.samples_per_ray
         )
         planes = ray_planes(origin, direction, z)
-        sg, rgb_c = fused.mlp_planar(
-            spec.bkg, params["coarse_bkg_net"], planes, d_ax, cd
-        )
+        sg, rgb_c = bkg_mlp(params["coarse_bkg_net"], planes, direction, d_ax)
         sg = jax.lax.stop_gradient(sg)
         rgb_c = [jax.lax.stop_gradient(c) for c in rgb_c]
         _, _, _, w, _ = fused.integrate_planar(
@@ -423,9 +437,7 @@ def make_human_loss_fn(spec, opt, ctx):
         w = jax.lax.stop_gradient(w)
         f_z = fused.importance_z(z, w, opt.importance_samples_per_ray, det=True)
         planes = ray_planes(origin, direction, f_z)
-        sgf, rgb_cf = fused.mlp_planar(
-            spec.bkg, params["fine_bkg_net"], planes, d_ax, cd
-        )
+        sgf, rgb_cf = bkg_mlp(params["fine_bkg_net"], planes, direction, d_ax)
         sgf = jax.lax.stop_gradient(sgf)
         rgb_cf = [jax.lax.stop_gradient(c) for c in rgb_cf]
         return dir_norm, f_z, sgf, rgb_cf
