@@ -31,6 +31,7 @@ def main():
                         help="fused Pallas kernel (default: on for TPU)")
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.add_argument("--naive", action="store_true")
+    parser.add_argument("--rays_per_tile", type=int, default=16)
     args = parser.parse_args()
 
     import jax
@@ -55,7 +56,9 @@ def main():
     if args.pallas:
         from neuman_tpu.ops.pallas.raymarch import make_fused_render
 
-        render_chunk = make_fused_render(spec, S, I, compute_dtype)
+        render_chunk = make_fused_render(
+            spec, S, I, compute_dtype, rays_per_tile=args.rays_per_tile
+        )
     elif args.naive:
         # reference-shaped formulation ([.., 3]-last layouts); kept for
         # comparison — OOMs beyond ~8k rays from lane-padding blowup
