@@ -29,11 +29,15 @@ from neuman_tpu.models.embedder import EmbedderSpec
 from neuman_tpu.models.nerf import JoinerSpec
 
 
-def pe_rows(spec: EmbedderSpec, axes_cn):
+def pe_rows(spec: EmbedderSpec, axes_cn, bvals=None):
     """Positional-encoding feature ROWS for feature-major input.
 
     axes_cn: [3, ...] (x, y, z stacked on axis 0). Returns [C, ...] with the
     row order matching models.embedder.embed's column order.
+
+    bvals: optional pre-staged [F, 3] rotation basis for the 'rotate'
+    mapping — inside a Pallas kernel the basis must arrive as a kernel
+    input (captured constants are rejected), so callers there pass it in.
     """
     if spec.mapping == "posenc":
         blocks = [axes_cn] if spec.include_input else []
@@ -42,9 +46,10 @@ def pe_rows(spec: EmbedderSpec, axes_cn):
             blocks.append(jnp.cos(axes_cn * f))
         return jnp.concatenate(blocks, axis=0)
     elif spec.mapping == "rotate":
-        bvals = jnp.asarray(
-            np.array(spec.bvals, dtype=np.float32).reshape(-1, 3)
-        )
+        if bvals is None:
+            bvals = jnp.asarray(
+                np.array(spec.bvals, dtype=np.float32).reshape(-1, 3)
+            )
         proj = jnp.tensordot(bvals, axes_cn, axes=[[1], [0]])  # [F, ...]
         blocks = [jnp.sin(proj), jnp.cos(proj)]
         if spec.include_input:

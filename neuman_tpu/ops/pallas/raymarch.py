@@ -47,15 +47,22 @@ def _weights_t(params, use_viewdirs, width, compute_dtype):
 
 def nerf_mlp_pallas(
     spec: JoinerSpec, params, px, py, pz, dir_part, compute_dtype=jnp.bfloat16,
-    rays_per_tile=8, interpret=None,
+    rays_per_tile=8, interpret=None, dir_planes=None,
 ):
     """Fused PE+MLP over planar sample coordinates.
 
-    px/py/pz: [R, S]; dir_part: [R, W/2] precomputed per-ray dir projection
-    (from `dir_projection`). Returns (sigma [R, S], rgb 3 x [R, S]).
+    px/py/pz: [R, S]. View directions, one of:
+    - dir_part [R, W/2]: precomputed per-RAY dir projection
+      (`dir_projection`) broadcast across samples — the vanilla path;
+    - dir_planes (dx, dy, dz) each [R, S]: per-SAMPLE dirs (the canonical
+      human net after the LBS warp); dir PE + the views matmul run
+      in-kernel (pass dir_part=None).
+
+    Returns (sigma [R, S], rgb 3 x [R, S]).
     """
     nspec = spec.nerf
     assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
+    per_sample = dir_planes is not None
     r, s = px.shape
     rt = min(rays_per_tile, r)
     while r % rt:
@@ -66,17 +73,53 @@ def nerf_mlp_pallas(
         interpret = jax.default_backend() != "tpu"
 
     weights = _weights_t(params, True, nspec.width, compute_dtype)
+    if per_sample:
+        wv = params["views_linears"][0]
+        w_vd_t = wv["w"][nspec.width :].T.astype(compute_dtype)  # [W/2, Cd]
+        dir_inputs = list(dir_planes)
+    else:
+        w_vd_t = None
+        dir_inputs = [dir_part]
     depth = nspec.depth
     skips = nspec.skips
+    # 'rotate' PE bases must be kernel INPUTS (Pallas rejects captured
+    # constant arrays); None entries keep the ref indexing aligned.
+    import numpy as np
 
-    def kernel(px_ref, py_ref, pz_ref, dirp_ref, *refs):
-        wrefs = refs[: len(weights)]
-        out_ref = refs[len(weights)]
+    pos_bvals = (
+        jnp.asarray(np.array(spec.pos_pe.bvals, dtype=np.float32).reshape(-1, 3))
+        if spec.pos_pe.mapping == "rotate"
+        else None
+    )
+    dir_bvals = (
+        jnp.asarray(np.array(spec.dir_pe.bvals, dtype=np.float32).reshape(-1, 3))
+        if (per_sample and spec.dir_pe.mapping == "rotate")
+        else None
+    )
+
+    n_extra = (1 if per_sample else 0) + (pos_bvals is not None) + (
+        dir_bvals is not None
+    )
+
+    def kernel(px_ref, py_ref, pz_ref, *refs):
+        nd = len(dir_inputs)
+        dir_refs = refs[:nd]
+        wrefs = refs[nd : nd + len(weights) + n_extra]
+        out_ref = refs[nd + len(weights) + n_extra]
+        bv_i = len(weights) + (1 if per_sample else 0)
+        pos_bv = wrefs[bv_i][:] if pos_bvals is not None else None
+        dir_bv = (
+            wrefs[bv_i + (pos_bvals is not None)][:]
+            if dir_bvals is not None
+            else None
+        )
         axes = jnp.stack(
             [px_ref[:].reshape(-1), py_ref[:].reshape(-1), pz_ref[:].reshape(-1)],
             axis=0,
         )  # [3, TN]
-        pe = fused.pe_rows(spec.pos_pe, axes).astype(compute_dtype)  # [C, TN]
+        pe = fused.pe_rows(spec.pos_pe, axes, bvals=pos_bv).astype(
+            compute_dtype
+        )  # [C, TN]
 
         h = pe
         wi = 0
@@ -107,11 +150,27 @@ def nerf_mlp_pallas(
             wt_vf, feature.astype(compute_dtype), preferred_element_type=jnp.float32
         )  # [W/2, TN]
         half = feat_part.shape[0]
-        dirp = dirp_ref[:].T  # [RT, W/2] block -> [W/2, RT]
-        h2 = jnp.maximum(
-            feat_part.reshape(half, rt, s) + dirp[:, :, None] + b_v[:, :, None],
-            0.0,
-        ).reshape(half, tn)
+        if per_sample:
+            d_axes = jnp.stack(
+                [dir_refs[0][:].reshape(-1), dir_refs[1][:].reshape(-1),
+                 dir_refs[2][:].reshape(-1)],
+                axis=0,
+            )  # [3, TN]
+            dir_pe = fused.pe_rows(spec.dir_pe, d_axes, bvals=dir_bv).astype(
+                compute_dtype
+            )
+            wt_vd = wrefs[wi + 8][:]
+            dir_term = jnp.dot(
+                wt_vd, dir_pe, preferred_element_type=jnp.float32
+            )  # [W/2, TN]
+            h2 = jnp.maximum(feat_part + dir_term + b_v, 0.0)
+        else:
+            dirp = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
+            h2 = jnp.maximum(
+                feat_part.reshape(half, rt, s) + dirp[:, :, None]
+                + b_v[:, :, None],
+                0.0,
+            ).reshape(half, tn)
         rgb = jnp.dot(
             wt_rgb, h2.astype(compute_dtype), preferred_element_type=jnp.float32
         ) + b_rgb  # [3, TN]
@@ -119,27 +178,36 @@ def nerf_mlp_pallas(
 
     grid = (r // rt,)
     plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    dirp_spec = pl.BlockSpec(
-        (rt, dir_part.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    if per_sample:
+        dir_specs = [plane_spec] * 3
+        extra_weights = [w_vd_t]
+    else:
+        dir_specs = [
+            pl.BlockSpec(
+                (rt, dir_part.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        extra_weights = []
+    extra_weights += [b for b in (pos_bvals, dir_bvals) if b is not None]
+    all_weights = weights + extra_weights
     weight_specs = [
         pl.BlockSpec(
             w.shape,
-            (lambda nd: lambda i: (0,) * nd)(w.ndim),
+            (lambda nd_: lambda i: (0,) * nd_)(w.ndim),
             memory_space=pltpu.VMEM,
         )
-        for w in weights
+        for w in all_weights
     ]
     out_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[plane_spec] * 3 + [dirp_spec] + weight_specs,
+        in_specs=[plane_spec] * 3 + dir_specs + weight_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
-    )(px, py, pz, dir_part, *weights)
+    )(px, py, pz, *dir_inputs, *all_weights)
     sigma = out[0].reshape(r, s)
     rgb = [out[1 + c].reshape(r, s) for c in range(3)]
     return sigma, rgb

@@ -185,12 +185,34 @@ def render_vanilla(
 def _human_branch_planar(
     spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
     samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
+    use_pallas=False,
 ):
     """Geometry-guided human samples -> (warp) -> canonical MLP, planar.
 
     Returns (hit [R], z [R, S], sigma [R, S], rgb_c 3x[R, S]).
     """
     from neuman_tpu.ops import fused
+
+    def human_mlp(planes, dir_planes_or_ax, per_ray):
+        if use_pallas:
+            from neuman_tpu.ops.pallas import raymarch
+
+            if per_ray:
+                dirp = raymarch.dir_projection(
+                    spec.human, params["coarse_human_net"], dirs, compute_dtype
+                )
+                return raymarch.nerf_mlp_pallas(
+                    spec.human, params["coarse_human_net"], *planes, dirp,
+                    compute_dtype,
+                )
+            return raymarch.nerf_mlp_pallas(
+                spec.human, params["coarse_human_net"], *planes, None,
+                compute_dtype, dir_planes=tuple(dir_planes_or_ax),
+            )
+        return fused.mlp_planar(
+            spec.human, params["coarse_human_net"], planes, dir_planes_or_ax,
+            compute_dtype, dirs_per_ray=per_ray,
+        )
 
     near, far = ray_ops.geometry_guided_near_far(
         origins, dirs, posed_verts, geo_threshold
@@ -205,10 +227,7 @@ def _human_branch_planar(
     ]
     if render_can:
         can_planes = planes
-        sg, rgb_c = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], can_planes,
-            [dirs[:, a] for a in range(3)], compute_dtype,
-        )
+        sg, rgb_c = human_mlp(can_planes, [dirs[:, a] for a in range(3)], True)
     else:
         flat = jnp.stack([p.reshape(-1) for p in planes], axis=-1)
         _, f_id, closest_cols = mesh_ops.point_mesh_closest_planar(
@@ -225,10 +244,7 @@ def _human_branch_planar(
         diffs = [jnp.concatenate([p, p[:, -1:]], axis=1) for p in diffs]
         norm = jnp.sqrt(diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2) + 1e-20
         can_dir_planes = [p / norm for p in diffs]
-        sg, rgb_c = fused.mlp_planar(
-            spec.human, params["coarse_human_net"], can_planes, can_dir_planes,
-            compute_dtype, dirs_per_ray=False,
-        )
+        sg, rgb_c = human_mlp(can_planes, can_dir_planes, False)
     sg = sg * interval_comp
     return hit, z, sg, rgb_c
 
@@ -279,13 +295,13 @@ def _smpl_chunk(
     jax.jit,
     static_argnames=(
         "spec", "samples_per_ray", "white_bkg", "render_can", "knn_k",
-        "compute_dtype_name",
+        "compute_dtype_name", "use_pallas",
     ),
 )
 def _smpl_chunk_planar(
     spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
     interval_comp, samples_per_ray, white_bkg, render_can, knn_k,
-    compute_dtype_name="bfloat16",
+    compute_dtype_name="bfloat16", use_pallas=False,
 ):
     from neuman_tpu.ops import fused
 
@@ -295,6 +311,7 @@ def _smpl_chunk_planar(
     hit, z, sg, rgb_c = _human_branch_planar(
         spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
         samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
+        use_pallas=use_pallas,
     )
     dir_norm = jnp.linalg.norm(dirs, axis=-1)
     rgb, _, acc, _, depth = fused.integrate_planar(
@@ -312,7 +329,7 @@ def render_smpl_nerf(
     samples_per_ray=64, white_bkg=True, render_can=False,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
     interval_comp=1.0, knn_k=8, planar=True, compute_dtype_name="bfloat16",
-    mesh=None,
+    mesh=None, use_pallas=False,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -330,7 +347,7 @@ def render_smpl_nerf(
             jnp.float32(geo_threshold), jnp.float32(interval_comp),
             samples_per_ray=samples_per_ray, white_bkg=white_bkg,
             render_can=render_can, knn_k=knn_k,
-            compute_dtype_name=compute_dtype_name,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
         )
     else:
         fn = lambda o, d: _smpl_chunk(
@@ -423,13 +440,13 @@ def _hybrid_chunk(
     jax.jit,
     static_argnames=(
         "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
-        "knn_k", "compute_dtype_name",
+        "knn_k", "compute_dtype_name", "use_pallas",
     ),
 )
 def _hybrid_chunk_planar(
     spec, params, topology, origins, dirs, bkg_near, bkg_far, posed_verts, Ts,
     geo_threshold, samples_per_ray, importance_samples_per_ray, white_bkg,
-    knn_k, compute_dtype_name="bfloat16",
+    knn_k, compute_dtype_name="bfloat16", use_pallas=False,
 ):
     from neuman_tpu.ops import fused
 
@@ -439,25 +456,32 @@ def _hybrid_chunk_planar(
     d_ax = [dirs[:, a] for a in range(3)]
     dir_norm = jnp.linalg.norm(dirs, axis=-1)
 
+    def bkg_mlp(prm, planes):
+        if use_pallas:
+            from neuman_tpu.ops.pallas import raymarch
+
+            dirp = raymarch.dir_projection(spec.bkg, prm, dirs, compute_dtype)
+            return raymarch.nerf_mlp_pallas(
+                spec.bkg, prm, *planes, dirp, compute_dtype
+            )
+        return fused.mlp_planar(spec.bkg, prm, planes, d_ax, compute_dtype)
+
     # background: coarse -> importance -> fine (planar)
     z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
     planes = [origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)]
-    sg, rgb_c = fused.mlp_planar(
-        spec.bkg, params["coarse_bkg_net"], planes, d_ax, compute_dtype
-    )
+    sg, rgb_c = bkg_mlp(params["coarse_bkg_net"], planes)
     _, _, _, w, _ = fused.integrate_planar(
         sg, rgb_c, z, dir_norm, white_bkg=white_bkg
     )
     f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
     planes = [origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
-    f_sg, f_rgb_c = fused.mlp_planar(
-        spec.bkg, params["fine_bkg_net"], planes, d_ax, compute_dtype
-    )
+    f_sg, f_rgb_c = bkg_mlp(params["fine_bkg_net"], planes)
 
     # human branch; misses become far dummy samples with zero density
     hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
         spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
         samples_per_ray, False, knn_k, 1.0, compute_dtype,
+        use_pallas=use_pallas,
     )
     dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * bkg_far[..., :1] * 2.0
     h_z = jnp.where(hit[:, None], h_z, dummy_z)
@@ -485,7 +509,7 @@ def render_hybrid_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
-    planar=True, compute_dtype_name="bfloat16", mesh=None,
+    planar=True, compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -503,7 +527,7 @@ def render_hybrid_nerf(
             samples_per_ray=samples_per_ray,
             importance_samples_per_ray=importance_samples_per_ray,
             white_bkg=white_bkg, knn_k=knn_k,
-            compute_dtype_name=compute_dtype_name,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
         )
     else:
         fn = lambda o, d: _hybrid_chunk(
@@ -533,7 +557,7 @@ def render_hybrid_nerf_multi_persons(
     faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
     importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
-    compute_dtype_name="bfloat16", mesh=None,
+    compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
 ):
     from neuman_tpu.ops import fused
 
@@ -566,14 +590,25 @@ def render_hybrid_nerf_multi_persons(
         d_ax = [dirs[:, a] for a in range(3)]
         dir_norm = jnp.linalg.norm(dirs, axis=-1)
 
+        def bkg_mlp(prm, planes):
+            if use_pallas:
+                from neuman_tpu.ops.pallas import raymarch
+
+                dirp = raymarch.dir_projection(
+                    bkg_spec.bkg, prm, dirs, compute_dtype
+                )
+                return raymarch.nerf_mlp_pallas(
+                    bkg_spec.bkg, prm, *planes, dirp, compute_dtype
+                )
+            return fused.mlp_planar(
+                bkg_spec.bkg, prm, planes, d_ax, compute_dtype
+            )
+
         z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
         planes = [
             origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)
         ]
-        sg, rgb_c = fused.mlp_planar(
-            bkg_spec.bkg, bkg_params["coarse_bkg_net"], planes, d_ax,
-            compute_dtype,
-        )
+        sg, rgb_c = bkg_mlp(bkg_params["coarse_bkg_net"], planes)
         _, _, _, w, _ = fused.integrate_planar(
             sg, rgb_c, z, dir_norm, white_bkg=white_bkg
         )
@@ -581,17 +616,14 @@ def render_hybrid_nerf_multi_persons(
         planes = [
             origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)
         ]
-        f_sg, f_rgb_c = fused.mlp_planar(
-            bkg_spec.bkg, bkg_params["fine_bkg_net"], planes, d_ax,
-            compute_dtype,
-        )
+        f_sg, f_rgb_c = bkg_mlp(bkg_params["fine_bkg_net"], planes)
 
         z_list, sg_list, rgb_list = [f_z], [f_sg], [f_rgb_c]
         for spec_h, params_h, verts_h, topo_h, ts_h in actors:
             hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
                 spec_h, params_h, topo_h, origins, dirs, verts_h, ts_h,
                 jnp.float32(geo_threshold), samples_per_ray, False, knn_k,
-                1.0, compute_dtype,
+                1.0, compute_dtype, use_pallas=use_pallas,
             )
             dummy_z = (
                 jnp.linspace(2.0, 3.0, samples_per_ray)[None] * bkg_far[..., :1]

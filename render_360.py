@@ -77,6 +77,7 @@ def main_canonical_360(opt):
             samples_per_ray=opt.samples_per_ray, render_can=True,
             interval_comp=geo_threshold / can_bone,
             geo_threshold=geo_threshold,
+            use_pallas=opt.use_pallas,
         )
         save_path = os.path.join(
             "./demo", f"canonical_360/{os.path.basename(opt.scene_dir)}",
@@ -121,6 +122,7 @@ def main_posed_360(opt):
             scene.Ts[cap_id], rays_per_batch=opt.rays_per_batch,
             samples_per_ray=opt.samples_per_ray, white_bkg=opt.white_bkg,
             render_can=False, geo_threshold=geo_threshold,
+            use_pallas=opt.use_pallas,
         )
         save_path = os.path.join(
             "./demo", f"posed_360/{os.path.basename(opt.scene_dir)}",

@@ -151,6 +151,7 @@ def main(opt):
             samples_per_ray=opt.samples_per_ray,
             importance_samples_per_ray=opt.importance_samples_per_ray,
             geo_threshold=geo_threshold,
+            use_pallas=opt.use_pallas,
         )
         save_path = os.path.join(
             "./demo", f"reposing/{os.path.basename(opt.scene_dir)}",

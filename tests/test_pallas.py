@@ -66,3 +66,30 @@ def test_pallas_render_chunk_matches_fused():
     )
     np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_x), atol=1e-3)
+
+
+def test_pallas_mlp_per_sample_dirs():
+    """Per-sample view-dir mode (canonical human net) matches mlp_planar."""
+    spec = make_spec()
+    params = nerf_module.init_nerf_params(jax.random.PRNGKey(7), spec.nerf)
+    r, s = 8, 16
+    key = jax.random.PRNGKey(8)
+    pts = jax.random.uniform(key, (r, s, 3)) - 0.5
+    dirs = jax.random.normal(jax.random.fold_in(key, 1), (r, s, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    sigma_ref, rgb_ref = fused.mlp_planar(
+        spec, params, [pts[..., a] for a in range(3)],
+        [dirs[..., a] for a in range(3)], compute_dtype=jnp.float32,
+        dirs_per_ray=False,
+    )
+    sigma, rgb = raymarch.nerf_mlp_pallas(
+        spec, params, pts[..., 0], pts[..., 1], pts[..., 2], None,
+        compute_dtype=jnp.float32, rays_per_tile=4, interpret=True,
+        dir_planes=(dirs[..., 0], dirs[..., 1], dirs[..., 2]),
+    )
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref), atol=1e-4)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(rgb[c]), np.asarray(rgb_ref[c]), atol=1e-4
+        )

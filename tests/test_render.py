@@ -225,3 +225,49 @@ def test_planar_render_chunks_match_reference(model_bundle):
     )
     np.testing.assert_allclose(rgb_p, rgb_r, atol=2e-4)
     np.testing.assert_allclose(d_p, d_r, atol=2e-3)
+
+
+def test_pallas_render_paths_match_planar(model_bundle):
+    """use_pallas=True renders == XLA planar renders at f32 (interpret)."""
+    _, spec, params, body, da = model_bundle
+    cap = tiny_cap()
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=0)
+    verts = np.asarray(wv[0])
+    Ts = np.asarray(t[0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+
+    kw = dict(
+        rays_per_batch=64, samples_per_ray=8, geo_threshold=0.3, knn_k=4,
+        return_depth=True, compute_dtype_name="float32",
+    )
+    rgb_x, d_x = renderer.render_smpl_nerf(
+        spec, params, cap, verts, faces, Ts, **kw
+    )
+    rgb_p, d_p = renderer.render_smpl_nerf(
+        spec, params, cap, verts, faces, Ts, use_pallas=True, **kw
+    )
+    np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
+    np.testing.assert_allclose(d_p, d_x, atol=2e-3)
+
+    hkw = dict(kw, importance_samples_per_ray=8)
+    rgb_x, d_x = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, **hkw
+    )
+    rgb_p, d_p = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, use_pallas=True, **hkw
+    )
+    np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
+    np.testing.assert_allclose(d_p, d_x, atol=2e-3)
+
+    mkw = dict(
+        rays_per_batch=64, samples_per_ray=8, importance_samples_per_ray=8,
+        geo_threshold=0.3, knn_k=4, compute_dtype_name="float32",
+    )
+    rgb_x = renderer.render_hybrid_nerf_multi_persons(
+        spec, params, cap, [spec], [params], [verts], [faces], [Ts], **mkw
+    )
+    rgb_p = renderer.render_hybrid_nerf_multi_persons(
+        spec, params, cap, [spec], [params], [verts], [faces], [Ts],
+        use_pallas=True, **mkw,
+    )
+    np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
