@@ -63,7 +63,17 @@ def nerf_mlp_pallas(
     nspec = spec.nerf
     assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
     per_sample = dir_planes is not None
-    r, s = px.shape
+    r, s_orig = px.shape
+    # Mosaic's in-kernel shape casts ([RT, S] <-> [RT*S] flatten, the per-ray
+    # [W/2, RT, S] broadcast) require the lane (sample) axis to be a multiple
+    # of the 128-lane tile; pad with edge samples and slice the outputs back.
+    pad_s = (-s_orig) % 128
+    if pad_s:
+        epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
+        px, py, pz = epad(px), epad(py), epad(pz)
+        if per_sample:
+            dir_planes = tuple(epad(d) for d in dir_planes)
+    s = s_orig + pad_s
     rt = min(rays_per_tile, r)
     while r % rt:
         rt -= 1
@@ -71,6 +81,10 @@ def nerf_mlp_pallas(
     n = r * s
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret and compute_dtype == jnp.bfloat16:
+        # CPU's unfused DotThunk rejects bf16 x bf16 -> f32; interpret-mode
+        # kernels lower dots unfused, so promote (TPU behavior unchanged).
+        compute_dtype = jnp.float32
 
     weights = _weights_t(params, True, nspec.width, compute_dtype)
     if per_sample:
@@ -208,14 +222,16 @@ def nerf_mlp_pallas(
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
     )(px, py, pz, *dir_inputs, *all_weights)
-    sigma = out[0].reshape(r, s)
-    rgb = [out[1 + c].reshape(r, s) for c in range(3)]
+    sigma = out[0].reshape(r, s)[:, :s_orig]
+    rgb = [out[1 + c].reshape(r, s)[:, :s_orig] for c in range(3)]
     return sigma, rgb
 
 
 def dir_projection(spec: JoinerSpec, params, dirs, compute_dtype=jnp.bfloat16):
     """Per-ray dir_pe @ W_dirs: dirs [R, 3] -> [R, W/2] f32."""
     width = spec.nerf.width
+    if jax.default_backend() != "tpu" and compute_dtype == jnp.bfloat16:
+        compute_dtype = jnp.float32  # CPU DotThunk rejects unfused bf16 dots
     w_dirs = params["views_linears"][0]["w"][width:]
     d_cn = jnp.stack([dirs[:, a] for a in range(3)], axis=0)  # [3, R]
     dir_pe = fused.pe_rows(spec.dir_pe, d_cn).astype(compute_dtype)  # [C, R]

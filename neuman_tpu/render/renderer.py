@@ -125,7 +125,7 @@ def render_vanilla(
     spec, coarse_params, cap, fine_params=None, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     near_far_source="bkg", return_depth=False, ablate_nerft=False,
-    compute_dtype_name="bfloat16", mesh=None,
+    compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
 ):
     origins, dirs = _cap_rays(cap)
     total = origins.shape[0]
@@ -142,15 +142,28 @@ def render_vanilla(
         # reference-shaped chunk below.
         from neuman_tpu.ops.fused import fused_vanilla_render
 
-        fn = lambda o, d: fused_vanilla_render(
-            spec, coarse_params,
-            fine_params if fine_params is not None else coarse_params,
-            o, d, near, far,
-            samples_per_ray=samples_per_ray,
-            importance_samples_per_ray=importance_samples_per_ray,
-            white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
-            use_fine=fine_params is not None,
-        )
+        if use_pallas and fine_params is not None and white_bkg:
+            from neuman_tpu.ops.pallas import raymarch
+
+            compute_dtype = (
+                jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                else jnp.float32
+            )
+            chunk = raymarch.make_fused_render(
+                spec, samples_per_ray, importance_samples_per_ray,
+                compute_dtype=compute_dtype,
+            )
+            fn = jax.jit(lambda o, d: chunk(coarse_params, fine_params, o, d, near, far))
+        else:
+            fn = lambda o, d: fused_vanilla_render(
+                spec, coarse_params,
+                fine_params if fine_params is not None else coarse_params,
+                o, d, near, far,
+                samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+                use_fine=fine_params is not None,
+            )
         rgb, depth = _chunked(
             fn, [origins, dirs], total, rays_per_batch, mesh=mesh
         )

@@ -348,6 +348,7 @@ class NeRFTrainer:
                 samples_per_ray=self.opt.samples_per_ray,
                 importance_samples_per_ray=self.opt.importance_samples_per_ray,
                 white_bkg=self.opt.white_bkg,
+                use_pallas=getattr(self.opt, "use_pallas", False),
             )
             try:
                 import imageio.v2 as imageio

@@ -999,6 +999,7 @@ class HumanNeRFTrainer:
             samples_per_ray=self.opt.samples_per_ray, white_bkg=True,
             render_can=True, interval_comp=self.interval_comp,
             geo_threshold=self.opt.geo_threshold, knn_k=self.ctx["knn_k"],
+            use_pallas=getattr(self.opt, "use_pallas", False),
         )
         try:
             import imageio.v2 as imageio

@@ -271,3 +271,22 @@ def test_pallas_render_paths_match_planar(model_bundle):
         use_pallas=True, **mkw,
     )
     np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
+
+
+def test_render_vanilla_pallas_matches_fused(model_bundle):
+    """render_vanilla(use_pallas=True) == fused XLA path at f32."""
+    _, spec, params, _, _ = model_bundle
+    cap = tiny_cap()
+    coarse = params["coarse_bkg_net"]
+    fine = params["fine_bkg_net"]
+    kw = dict(
+        rays_per_batch=64, samples_per_ray=8, importance_samples_per_ray=8,
+        return_depth=True, compute_dtype_name="float32",
+    )
+    rgb_x, d_x = renderer.render_vanilla(spec.bkg, coarse, cap,
+                                         fine_params=fine, **kw)
+    rgb_p, d_p = renderer.render_vanilla(spec.bkg, coarse, cap,
+                                         fine_params=fine, use_pallas=True,
+                                         **kw)
+    np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
+    np.testing.assert_allclose(d_p, d_x, atol=2e-3)
