@@ -309,7 +309,16 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
 
     p_cols = (points[:, 0:1], points[:, 1:2], points[:, 2:3])  # [N, 1]
     tri = _packed_face_table(verts, faces, pad_to=16)
-    rows = tri[cand_safe]  # [N, C, 16] — ONE row gather for all 9 coords
+    # Gathers pay per INDEX: fetching the C = k*I candidate faces as [N, C]
+    # row gathers costs N*C indices (measured 43 ms of a 53 ms query at
+    # C=64). Instead pre-join each VERTEX's incident faces into one
+    # [V, I*16] row (V*I indices, negligible) and fetch k rows per point —
+    # N*k indices, a 16x reduction for identical candidates.
+    inc_width = topology.incidence.shape[1]
+    vtab = tri[jnp.maximum(topology.incidence, 0)].reshape(
+        verts.shape[0], inc_width * 16
+    )
+    rows = vtab[knn_idx].reshape(n_pts, k * inc_width, 16)  # [N, C, 16]
     a = (rows[..., 0], rows[..., 1], rows[..., 2])
     b = (rows[..., 3], rows[..., 4], rows[..., 5])
     c = (rows[..., 6], rows[..., 7], rows[..., 8])
