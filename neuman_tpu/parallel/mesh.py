@@ -24,6 +24,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices=None, axis_name="data", devices=None):
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available ({devices[0].platform}); set "
+                "JAX_PLATFORMS=cpu + XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} for a virtual mesh"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
