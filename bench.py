@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.add_argument("--naive", action="store_true")
     parser.add_argument("--rays_per_tile", type=int, default=16)
+    parser.add_argument("--train_scan_iters", type=int, default=10)
+    parser.add_argument("--no-train", dest="train", action="store_false",
+                        default=True,
+                        help="skip the human-train-step benchmark")
     args = parser.parse_args()
 
     import jax
@@ -128,8 +132,102 @@ def main():
         "unit": "ray-samples/s",
         "vs_baseline": float(value / 1e7),
     }
+    if args.train:
+        result["human_train_step_ms"] = round(
+            bench_human_train_step(args.train_scan_iters), 1
+        )
     print(json.dumps(result))
     return result
+
+
+def bench_human_train_step(scan_iters=10):
+    """Full reference-size human-stage train step, ms/step on one chip.
+
+    The training hot loop (ref schedule: 300k iters, train.py:181-183):
+    1536 rays x 128 samples, 8x256 MLPs, all 7 loss families incl. 3 mesh
+    queries against an SMPL-scale smooth body proxy (V=10242 icosphere —
+    conservative vs SMPL's 6890), fwd+bwd+Adam in ONE jit. Timed with the
+    lax.scan protocol (scan_iters steps in one dispatch, scalar readback)
+    so the axon tunnel's ~50-85 ms dispatch latency is excluded.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.ops import mesh as mesh_ops
+    from neuman_tpu.options.config import NeuManConfig, apply_mode_defaults
+    from neuman_tpu.parallel.dryrun import synthetic_arrays
+    from neuman_tpu.trainers.background import make_optimizer
+    from neuman_tpu.trainers.human import make_human_train_step
+    from neuman_tpu.utils.synthetic_body import body_proxy_smpl_model
+
+    cfg = apply_mode_defaults(NeuManConfig(), "smpl_and_offset")
+    cfg.penalize_lpips = 0.0  # no calibrated LPIPS weights in-container
+    cfg.geo_threshold = 0.25
+    num_views = 4
+    body = body_proxy_smpl_model(subdivisions=5)
+    arrays = synthetic_arrays(
+        num_views=num_views, h=270, w=480, num_verts=body.num_verts
+    )
+    # realistic posed/canonical surfaces for the mesh queries
+    proxy = jnp.asarray(body.v_template)
+    arrays = arrays.replace(
+        verts=jnp.tile(proxy[None], (num_views, 1, 1))
+        + arrays.verts * 0.02
+    )
+    spec = hn.build_human_nerf_spec(cfg)
+    rng = np.random.default_rng(0)
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0),
+        spec,
+        poses=rng.normal(size=(num_views, 72)).astype(np.float32) * 0.05,
+        betas=rng.normal(size=(num_views, 10)).astype(np.float32) * 0.05,
+        alignments=np.tile(np.eye(4, dtype=np.float32)[None], (num_views, 1, 1)),
+    )
+    topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
+    ctx = {
+        "body_model": body,
+        "da_smpl": hn.da_pose_params(24),
+        "scale": 1.0,
+        "topo": topo,
+        "can_verts": arrays.verts,
+        "can_k": arrays.intrinsics[:2],
+        "can_c2w": arrays.c2w[:2],
+        "can_hw": (270, 480),
+        "interval_comp": 1.0,
+        "lpips_params": None,
+        "scene_ids": jnp.arange(num_views, dtype=jnp.int32),
+        "grad_masks": jnp.ones((num_views, 72)),
+        "knn_k": 4,
+    }
+    optimizer = make_optimizer()
+    state = {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "iteration": jnp.int32(0),
+        "rng": jax.random.PRNGKey(0),
+    }
+    step = make_human_train_step(
+        spec, cfg, arrays, list(range(num_views)), optimizer, ctx
+    )
+
+    @jax.jit
+    def multi_step(state):
+        def body_fn(st, _):
+            st, metrics = step(st)
+            return st, metrics["total_loss"]
+
+        return jax.lax.scan(body_fn, state, None, length=scan_iters)
+
+    state, losses = multi_step(state)  # compile + warmup
+    float(jnp.sum(losses))
+    t0 = time.time()
+    state, losses = multi_step(state)
+    float(jnp.sum(losses))
+    dt = (time.time() - t0) / scan_iters
+    return dt * 1e3
 
 
 if __name__ == "__main__":

@@ -280,26 +280,25 @@ def _closest_over_faces(points, verts, face_subset, valid_mask=None):
     return d2[n, idx], idx, cp[n, idx]
 
 
-def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
+def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
+                              exact_knn=False):
     """KNN-accelerated closest point with planarized internals.
 
     points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
     an (x, y, z) column tuple of [N] arrays). No [N, C, 3]-shaped
-    intermediate is ever materialized.
+    intermediate is ever materialized. `exact_knn=True` forces exact top-k
+    vertex selection on every backend (recall studies / oracles).
     """
     faces = topology.faces
     n_pts = points.shape[0]
-    # [N, V] squared distances via matmul (MXU), then top-k verts.
+    # On TPU: approx_max_k, the hardware bucketed top-k (exact lax.top_k is
+    # a full per-row sort — measured seconds per step at [200k, 6890];
+    # recall equals exact top-k on body meshes, see
+    # tools/bench_mesh_query.py --recall). On CPU (tests): exact top_k.
     v2 = jnp.sum(verts * verts, axis=-1)[None, :]
     p2 = jnp.sum(points * points, axis=-1)[:, None]
     d2_pv = p2 + v2 - 2.0 * (points @ verts.T)
-    # On TPU: approx_max_k, the hardware-optimized bucketed top-k
-    # (lax.top_k lowers to a full per-row sort — measured seconds per step
-    # at [200k, 6890]); the recall target keeps the true nearest vertices
-    # in the candidate set with overwhelming probability, further protected
-    # by taking k candidates x incident faces. On CPU (tests): exact top_k
-    # (approx_max_k's CPU fallback is pathologically slow).
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not exact_knn:
         _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
     else:
         _, knn_idx = jax.lax.top_k(-d2_pv, k)
@@ -307,7 +306,6 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
     valid = cand >= 0
     cand_safe = jnp.maximum(cand, 0)
 
-    p_cols = (points[:, 0:1], points[:, 1:2], points[:, 2:3])  # [N, 1]
     tri = _packed_face_table(verts, faces, pad_to=16)
     # Gathers pay per INDEX: fetching the C = k*I candidate faces as [N, C]
     # row gathers costs N*C indices (measured 43 ms of a 53 ms query at
@@ -318,22 +316,39 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8):
     vtab = tri[jnp.maximum(topology.incidence, 0)].reshape(
         verts.shape[0], inc_width * 16
     )
+    if jax.default_backend() == "tpu":
+        # Pallas candidate phase: XLA re-fuses the gather+transpose into
+        # every elementwise consumer of the Ericson test and recomputes it
+        # (measured 96 ms for 3 ms of math at N=196k, C=24; optimization
+        # barriers don't stop it). pallas_call operands are materialized
+        # exactly once and the whole region test + select stays in VMEM.
+        from neuman_tpu.ops.pallas.meshquery import ericson_select_pallas
+
+        rows2d = vtab[knn_idx].reshape(n_pts, -1).T  # [C*16, N]
+        p3 = points.T  # [3, N]
+        d2, f_id, closest = ericson_select_pallas(p3, rows2d, cand.T)
+        return d2, f_id, closest
     rows = vtab[knn_idx].reshape(n_pts, k * inc_width, 16)  # [N, C, 16]
-    a = (rows[..., 0], rows[..., 1], rows[..., 2])
-    b = (rows[..., 3], rows[..., 4], rows[..., 5])
-    c = (rows[..., 6], rows[..., 7], rows[..., 8])
-    cp = closest_point_on_triangles_planar(p_cols, a, b, c)
+    # Feature-major candidate phase (CPU/tests): the Ericson region test
+    # runs on [C, N] columns (lane axis = N, the big one) instead of
+    # [N, C] (C = k*I is 9..36, padding the 128-lane tile 4-14x).
+    rows = rows.transpose(1, 2, 0)  # [C, 16, N]
+    a = (rows[:, 0], rows[:, 1], rows[:, 2])  # each [C, N]
+    b = (rows[:, 3], rows[:, 4], rows[:, 5])
+    c = (rows[:, 6], rows[:, 7], rows[:, 8])
+    p_cols = (points[None, :, 0], points[None, :, 1], points[None, :, 2])  # [1, N]
+    cp = closest_point_on_triangles_planar(p_cols, a, b, c)  # tuple of [C, N]
     d2 = (
         (cp[0] - p_cols[0]) ** 2
         + (cp[1] - p_cols[1]) ** 2
         + (cp[2] - p_cols[2]) ** 2
     )
-    d2 = jnp.where(valid, d2, jnp.inf)
-    sel = jnp.argmin(d2, axis=-1)
-    rows = jnp.arange(n_pts)
-    f_id = cand_safe[rows, sel].astype(jnp.int32)
-    closest = (cp[0][rows, sel], cp[1][rows, sel], cp[2][rows, sel])
-    return d2[rows, sel], f_id, closest
+    d2 = jnp.where(valid.T, d2, jnp.inf)
+    sel = jnp.argmin(d2, axis=0)  # [N]
+    ridx = jnp.arange(n_pts)
+    f_id = cand_safe[ridx, sel].astype(jnp.int32)
+    closest = (cp[0][sel, ridx], cp[1][sel, ridx], cp[2][sel, ridx])
+    return d2[sel, ridx], f_id, closest
 
 
 def point_mesh_closest(points, verts, topology: MeshTopology, k=8, method="knn"):

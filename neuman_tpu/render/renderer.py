@@ -521,7 +521,8 @@ def _hybrid_chunk_planar(
 def render_hybrid_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
-    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
+    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_acc=False,
+    knn_k=8,
     planar=True, compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
@@ -555,6 +556,9 @@ def render_hybrid_nerf(
     )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
+    if return_acc:
+        acc = np.asarray(acc).reshape(*cap.shape)
+        return rgb, depth, acc
     if return_depth:
         return rgb, depth
     return rgb

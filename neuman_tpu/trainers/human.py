@@ -728,9 +728,31 @@ def lr_tree(params, anneals):
     return out
 
 
+def warn_lpips_divergence(opt, ctx):
+    """Loud, once-per-build warning when the LPIPS patch loss is skipped.
+
+    The reference default TRAINS with the perceptual patch loss
+    (human_nerf_trainer.py:153, 432-435); silently dropping it is a quiet
+    objective divergence. Returns True when the loss will be skipped.
+    """
+    skipped = opt.penalize_lpips > 0 and ctx.get("lpips_params") is None
+    if skipped:
+        print(
+            f"WARNING: penalize_lpips={opt.penalize_lpips:g} but no "
+            "calibrated LPIPS weights are loaded — the perceptual patch "
+            "loss is SKIPPED and training diverges from the reference "
+            "objective (human_nerf_trainer.py:432-435). Convert the "
+            "torchvision/lpips weights with tools/convert_lpips.py and "
+            "pass --lpips_weights to restore parity.",
+            flush=True,
+        )
+    return skipped
+
+
 def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx,
                           mesh=None):
     train_view_ids = jnp.asarray(np.array(train_view_ids, np.int32))
+    lpips_skipped = warn_lpips_divergence(opt, ctx)
     loss_fn = make_human_loss_fn(spec, opt, ctx)
     use_patch = opt.penalize_lpips > 0
     ratios = (opt.body_rays_ratio, opt.border_rays_ratio, opt.bkg_rays_ratio)
@@ -810,6 +832,7 @@ def make_human_train_step(spec, opt, arrays, train_view_ids, optimizer, ctx,
                 "offset_scale": anneals["offset_scale"],
                 "penalize_mask": anneals["mask_w"],
                 "dead_restart": dead.astype(jnp.float32),
+                "lpips_skipped": jnp.float32(lpips_skipped),
             }
         )
         return new_state, metrics
@@ -962,7 +985,7 @@ class HumanNeRFTrainer:
     def validate(self):
         import jax.random as jrandom
 
-        from neuman_tpu.render import renderer
+        from neuman_tpu.render import rasterize, renderer
 
         key = jrandom.fold_in(jrandom.PRNGKey(1), self.iteration)
         val_ids = jnp.asarray(
@@ -990,26 +1013,44 @@ class HumanNeRFTrainer:
         scalars = {f"val_loss/{k}": float(v) for k, v in aux["losses"].items()}
         self.pusher.push_scalars(self.iteration, scalars, training=False)
 
-        # canonical render for visual validation (ref: 487-513)
+        # visual validation, reference parity (ref: 475-514): canonical
+        # 360-path render with rgb + depth + acc maps, plus an SMPL overlay
+        # of the CURRENT learnable body on the middle train view.
         can_cap = self.can_caps[0]
-        rgb = renderer.render_smpl_nerf(
+        rgb, depth_map, acc_map = renderer.render_smpl_nerf(
             self.spec, self.state["params"], can_cap,
             np.asarray(self.scene.static_vert[0]), self.scene.faces, None,
             rays_per_batch=self.opt.rays_per_batch,
             samples_per_ray=self.opt.samples_per_ray, white_bkg=True,
-            render_can=True, interval_comp=self.interval_comp,
+            render_can=True, return_depth=True, return_mask=True,
+            interval_comp=self.interval_comp,
             geo_threshold=self.opt.geo_threshold, knn_k=self.ctx["knn_k"],
             use_pallas=getattr(self.opt, "use_pallas", False),
         )
-        try:
-            import imageio.v2 as imageio
+        # clip depth display range to the solid region (ref: 502-509)
+        alpha_mask = acc_map >= 1.0 - 1e-10
+        if alpha_mask.any():
+            d_min = depth_map[alpha_mask].min()
+            d_max = depth_map[alpha_mask].max()
+            depth_map = np.clip(depth_map, d_min, d_max)
 
-            imageio.imwrite(
-                os.path.join(self.out, f"val_can_{self.iteration:08d}.png"),
-                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+        images = {"val_can": rgb, "val_depth": depth_map, "val_acc": acc_map}
+        try:
+            overfit_id = self.train_ids[len(self.train_ids) // 2]
+            cap = self.scene.captures[self.all_views[overfit_id]]
+            verts, _ = hn.vertex_forward(
+                self.spec, self.state["params"], self.ctx["body_model"],
+                self.ctx["da_smpl"], self.ctx["scale"],
+                int(self.ctx["scene_ids"][overfit_id]),
             )
-        except Exception:
-            pass
+            overlay = rasterize.overlay_smpl(
+                cap.image, np.asarray(verts[0]),
+                self.scene.faces[:, :3], cap,
+            )
+            images["val_smpl_overlay"] = overlay.astype(np.float32) / 255.0
+        except Exception as e:  # overlay is best-effort visualization
+            print(f"SMPL overlay skipped: {e}", flush=True)
+        self.pusher.push_images(self.iteration, images, out_dir=self.out)
         self.save_model()
 
     def save_model(self):

@@ -90,6 +90,36 @@ class MetricsPusher:
         pack.add_scalar(scalars)
         self.push_to_tensorboard(pack)
 
+    def push_images(self, iteration, images, training=False, out_dir=None):
+        """Push validation images (ref: human_nerf_trainer.py:475-514).
+
+        images: {name: HWC float [0,1] or HW float}. Written as PNGs next
+        to metrics.jsonl (and to tensorboard when available, CHW)."""
+        import numpy as np
+
+        pack = TensorboardDatapack()
+        pack.set_training(training)
+        pack.set_iteration(iteration)
+        out_dir = out_dir or os.path.dirname(self.jsonl_path) or "."
+        for name, img in images.items():
+            img = np.asarray(img, dtype=np.float32)
+            if img.ndim == 2:  # depth/acc maps: normalize for display
+                lo, hi = float(img.min()), float(img.max())
+                img = (img - lo) / max(hi - lo, 1e-9)
+                img = np.repeat(img[..., None], 3, axis=-1)
+            img = np.clip(img, 0.0, 1.0)
+            pack.add_image({name: np.transpose(img, (2, 0, 1))})
+            try:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    os.path.join(out_dir, f"{name}_{iteration:08d}.png"),
+                    (img * 255).astype(np.uint8),
+                )
+            except Exception:
+                pass
+        self.push_to_tensorboard(pack)
+
 
 class ThroughputMeter:
     """steps/sec + ray-samples/sec window meter."""

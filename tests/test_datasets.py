@@ -136,3 +136,35 @@ def test_num_rays_split():
     n = sampler.num_rays_split(100, 0.3, 0.3, 0.4)
     assert sum(n) == 100
     assert sampler.num_rays_split(100, 0.5, 0.5, 0.0, dilation=0)[1] == 0
+
+
+def test_patch_presence_distribution(staged):
+    """Patch presence parity with the reference's pool logic: the reference
+    draws `need_patch = random.random() < opt.body_rays_ratio` per batch
+    (human_rays.py:126-129), i.e. patch presence is EXACTLY
+    Bernoulli(body_rays_ratio) — independent of the sampled pool
+    composition. The jitted sampler must reproduce that marginal, and the
+    LPIPS term scales by patch_counter, so the rate directly weights the
+    loss."""
+    scene, arrays = staged
+    view_ids = jnp.arange(8, dtype=jnp.int32)
+    body_ratio = 0.7
+
+    @jax.jit
+    def counters(key):
+        def body(c, k):
+            b = sampler.sample_human_batch(
+                k, arrays, view_ids, 0.3, 1024 + 64,
+                ratios=(body_ratio, 0.3, 0.0), use_patch=True, dilation=2,
+            )
+            return c, b["patch_counter"]
+
+        return jax.lax.scan(
+            body, 0, jax.random.split(key, 400)
+        )[1]
+
+    pcs = np.asarray(counters(jax.random.PRNGKey(11)))
+    assert set(np.unique(pcs)) <= {0, 1}
+    rate = pcs.mean()
+    # 400 draws at p=0.7: std ~0.023, 4-sigma band
+    assert abs(rate - body_ratio) < 0.1, rate

@@ -440,3 +440,17 @@ def test_bkg_training_reduces_loss(scene, tmp_path):
     # the synthetic images are per-pixel noise (floor ~= channel variance),
     # so expect a clear but moderate decrease
     assert last < first * 0.92, (first, last)
+
+
+def test_human_trainer_validate_visuals(human_setup):
+    """validate() pushes the reference's visual set (ref:
+    human_nerf_trainer.py:475-514): canonical rgb + depth + acc maps and a
+    current-SMPL overlay, written next to metrics.jsonl."""
+    import glob
+    import os
+
+    cfg, trainer = human_setup
+    trainer.validate()
+    for name in ("val_can", "val_depth", "val_acc", "val_smpl_overlay"):
+        hits = glob.glob(os.path.join(trainer.out, f"{name}_*.png"))
+        assert hits, f"missing validation image {name}"
