@@ -53,8 +53,25 @@ def make_synthetic_smpl_pickle(path, num_verts=NUM_VERTS, num_joints=NUM_JOINTS,
     return data
 
 
-def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3):
-    """Create a synthetic scene directory; returns the scene dir path."""
+def _backdrop_color(x, y):
+    """Low-frequency multi-view-consistent texture on the backdrop plane."""
+    r = 0.5 + 0.45 * np.sin(2.2 * x + 0.7)
+    g = 0.5 + 0.45 * np.cos(1.7 * y - 0.3)
+    b = 0.5 + 0.45 * np.sin(1.3 * (x + y))
+    return np.stack([r, g, b], axis=-1)
+
+
+def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3,
+                          renderable=False):
+    """Create a synthetic scene directory; returns the scene dir path.
+
+    renderable=True replaces the per-frame random-noise images with
+    multi-view-consistent renders of a textured backdrop plane at z=1.0
+    (plus true plane depths), so training has a signal to converge to and
+    tests can assert an image-quality (PSNR) floor — the reference's
+    implicit quality gate is eval PSNR on real scenes
+    (render_test_views.py:27-41), which are not mounted in-container.
+    """
     root = str(root)
     scene_dir = os.path.join(root, "scene")
     data_dir = os.path.join(root, "data")
@@ -70,6 +87,7 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3):
 
     fx = fy = 35.0
     cx, cy = w / 2.0, h / 2.0
+    z_plane = 1.0  # backdrop plane (within the points3D z range)
 
     # Cameras on a small arc at z ~= -2.5 looking towards +z (identity
     # rotation, COLMAP w2c translation t so that camera center = -R^T t).
@@ -77,7 +95,22 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3):
     for i in range(num_frames):
         fname = f"{i:05d}.png"
         fnames.append(fname)
-        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        if renderable:
+            # project every pixel ray (identity rotation) onto the plane
+            cam_center = np.array([0.05 * (i - num_frames / 2), 0.0, -2.5])
+            px, py = np.meshgrid(np.arange(w), np.arange(h))
+            dx = (px - cx) / fx
+            dy = (py - cy) / fy
+            s = (z_plane - cam_center[2])  # dz == 1 before normalization
+            hit_x = cam_center[0] + dx * s
+            hit_y = cam_center[1] + dy * s
+            img = (
+                np.clip(_backdrop_color(hit_x, hit_y), 0, 1) * 255
+            ).astype(np.uint8)
+            depth = np.full((h, w), s, dtype=np.float32)
+        else:
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            depth = rng.uniform(2.0, 3.0, size=(h, w)).astype(np.float32)
         imageio.imwrite(os.path.join(scene_dir, "images", fname), img)
 
         # mask: 255 = background, 0 = human blob in the middle
@@ -85,12 +118,14 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3):
         mask[h // 2 - 6 : h // 2 + 6, w // 2 - 6 : w // 2 + 6] = 0
         imageio.imwrite(os.path.join(scene_dir, "segmentations", fname), mask)
 
-        depth = rng.uniform(2.0, 3.0, size=(h, w)).astype(np.float32)
         write_colmap_depth_bin(
             os.path.join(scene_dir, "depth_maps", fname + ".geometric.bin"), depth
         )
 
-        mono = (rng.uniform(1.5, 3.5, size=(h, w)) * 10000).astype(np.uint16)
+        if renderable:
+            mono = (depth * 10000).astype(np.uint16)
+        else:
+            mono = (rng.uniform(1.5, 3.5, size=(h, w)) * 10000).astype(np.uint16)
         imageio.imwrite(os.path.join(scene_dir, "mono_depth", fname), mono)
 
     # sparse reconstruction text files
