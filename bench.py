@@ -166,6 +166,9 @@ def bench_human_train_step(scan_iters=10):
     cfg = apply_mode_defaults(NeuManConfig(), "smpl_and_offset")
     cfg.penalize_lpips = 0.0  # no calibrated LPIPS weights in-container
     cfg.geo_threshold = 0.25
+    # production TPU path: Pallas bkg fwd + custom-VJP human MLP pair
+    # (measured 236 -> 196 ms/step; parity-tested vs the XLA loss)
+    cfg.use_pallas = jax.default_backend() == "tpu"
     num_views = 4
     body = body_proxy_smpl_model(subdivisions=5)
     arrays = synthetic_arrays(
@@ -201,6 +204,7 @@ def bench_human_train_step(scan_iters=10):
         "scene_ids": jnp.arange(num_views, dtype=jnp.int32),
         "grad_masks": jnp.ones((num_views, 72)),
         "knn_k": 4,
+        "knn_stride": cfg.knn_stride,
     }
     optimizer = make_optimizer()
     state = {

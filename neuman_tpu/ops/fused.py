@@ -58,6 +58,47 @@ def pe_rows(spec: EmbedderSpec, axes_cn, bvals=None):
     raise ValueError(spec.mapping)
 
 
+def pe_rows_bwd(spec: EmbedderSpec, axes_cn, d_pe, bvals=None, bvals_t=None):
+    """VJP of `pe_rows` w.r.t. its axes: d_pe [C, N] -> d_axes [D, N].
+
+    axes_cn is the primal input ([D, N], f32); trig values are recomputed
+    (cheaper than storing them — this runs inside the Pallas backward kernel
+    where VMEM is the scarce resource). bvals/bvals_t ([F, 3] / [3, F]) must
+    be passed for the 'rotate' mapping (kernel inputs, like pe_rows).
+    """
+    if spec.mapping == "posenc":
+        d = spec.input_dims
+        idx = d if spec.include_input else 0
+        d_axes = d_pe[:d] if spec.include_input else jnp.zeros_like(axes_cn)
+        for f in spec.freq_bands:
+            d_sin = d_pe[idx : idx + d]
+            d_cos = d_pe[idx + d : idx + 2 * d]
+            idx += 2 * d
+            d_axes = d_axes + f * (
+                jnp.cos(axes_cn * f) * d_sin - jnp.sin(axes_cn * f) * d_cos
+            )
+        return d_axes
+    elif spec.mapping == "rotate":
+        if bvals is None:
+            bvals = jnp.asarray(
+                np.array(spec.bvals, dtype=np.float32).reshape(-1, 3)
+            )
+        if bvals_t is None:
+            bvals_t = bvals.T
+        f = bvals.shape[0]
+        base = 3 if spec.include_input else 0
+        proj = jnp.dot(bvals, axes_cn, preferred_element_type=jnp.float32)
+        d_proj = (
+            jnp.cos(proj) * d_pe[base : base + f]
+            - jnp.sin(proj) * d_pe[base + f : base + 2 * f]
+        )
+        d_axes = jnp.dot(bvals_t, d_proj, preferred_element_type=jnp.float32)
+        if spec.include_input:
+            d_axes = d_axes + d_pe[:3]
+        return d_axes
+    raise ValueError(spec.mapping)
+
+
 def _dot_t(w, x, compute_dtype):
     """w: [I, O] (storage layout); x: [I, N] -> [O, N] f32 accumulation."""
     return jnp.dot(

@@ -281,27 +281,46 @@ def _closest_over_faces(points, verts, face_subset, valid_mask=None):
 
 
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
-                              exact_knn=False):
+                              exact_knn=False, knn_stride=1):
     """KNN-accelerated closest point with planarized internals.
 
     points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
     an (x, y, z) column tuple of [N] arrays). No [N, C, 3]-shaped
     intermediate is ever materialized. `exact_knn=True` forces exact top-k
     vertex selection on every backend (recall studies / oracles).
+
+    knn_stride > 1 amortizes the vertex-KNN phase over groups of
+    `knn_stride` CONSECUTIVE query points: only every stride-th point runs
+    the [N, V] distance + top-k, and its candidate faces serve the whole
+    group. Sound when consecutive points are spatially adjacent — ray
+    samples are ~4 mm apart vs ~2 cm vertex spacing (recall measured in
+    tools/bench_mesh_query.py --recall). The Ericson candidate phase still
+    runs exactly per point.
     """
     faces = topology.faces
     n_pts = points.shape[0]
+    stride = knn_stride if (knn_stride > 1 and n_pts % knn_stride == 0) else 1
+    q = (
+        points
+        if stride == 1
+        # group representative = the MIDDLE sample (halves the worst-case
+        # offset vs using the first)
+        else points.reshape(n_pts // stride, stride, 3)[:, stride // 2]
+    )
     # On TPU: approx_max_k, the hardware bucketed top-k (exact lax.top_k is
     # a full per-row sort — measured seconds per step at [200k, 6890];
     # recall equals exact top-k on body meshes, see
     # tools/bench_mesh_query.py --recall). On CPU (tests): exact top_k.
     v2 = jnp.sum(verts * verts, axis=-1)[None, :]
-    p2 = jnp.sum(points * points, axis=-1)[:, None]
-    d2_pv = p2 + v2 - 2.0 * (points @ verts.T)
+    p2 = jnp.sum(q * q, axis=-1)[:, None]
+    d2_pv = p2 + v2 - 2.0 * (q @ verts.T)
     if jax.default_backend() == "tpu" and not exact_knn:
         _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
     else:
         _, knn_idx = jax.lax.top_k(-d2_pv, k)
+    knn_idx_s = knn_idx  # strided [Nq, k]: group gathers stay at Nq
+    if stride > 1:
+        knn_idx = jnp.repeat(knn_idx, stride, axis=0)  # [N, k]
     cand = topology.incidence[knn_idx].reshape(n_pts, -1)  # [N, C]
     valid = cand >= 0
     cand_safe = jnp.maximum(cand, 0)
@@ -324,7 +343,11 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         # exactly once and the whole region test + select stays in VMEM.
         from neuman_tpu.ops.pallas.meshquery import ericson_select_pallas
 
-        rows2d = vtab[knn_idx].reshape(n_pts, -1).T  # [C*16, N]
+        # the big packed-row gather pays per index: fetch at the strided
+        # group size and broadcast lanes afterwards (cheap copy vs gather)
+        rows2d = vtab[knn_idx_s].reshape(n_pts // stride, -1).T  # [C*16, Nq]
+        if stride > 1:
+            rows2d = jnp.repeat(rows2d, stride, axis=1)  # [C*16, N]
         p3 = points.T  # [3, N]
         d2, f_id, closest = ericson_select_pallas(p3, rows2d, cand.T)
         return d2, f_id, closest
@@ -433,10 +456,13 @@ def _corners_at(verts, topology, f_id):
     )
 
 
-def _signed_distance_planar(points, verts, topology: MeshTopology, k=8):
+def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
+                            knn_stride=1):
     """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
     faces = topology.faces
-    d2, f_id, closest = point_mesh_closest_planar(points, verts, topology, k=k)
+    d2, f_id, closest = point_mesh_closest_planar(
+        points, verts, topology, k=k, knn_stride=knn_stride
+    )
     vn = angle_weighted_vertex_normals(verts, faces)
     c0, c1, c2 = _corners_at(verts, topology, f_id)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
@@ -452,14 +478,17 @@ def _signed_distance_planar(points, verts, topology: MeshTopology, k=8):
     return sign * jnp.sqrt(jnp.maximum(d2, 0.0)), f_id, closest
 
 
-def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn"):
+def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
+                    knn_stride=1):
     """Signed distance to a watertight mesh (negative inside).
 
     Same contract as igl.signed_distance (human_nerf_trainer.py:310-314):
     returns (signed_dist [N], f_id [N], closest [N, 3]).
     """
     if method == "knn":
-        sd, f_id, closest = _signed_distance_planar(points, verts, topology, k=k)
+        sd, f_id, closest = _signed_distance_planar(
+            points, verts, topology, k=k, knn_stride=knn_stride
+        )
         return sd, f_id, jnp.stack(closest, axis=-1)
     d2, f_id, closest = point_mesh_closest(points, verts, topology, k=k, method=method)
     vn = angle_weighted_vertex_normals(verts, topology.faces)
@@ -545,7 +574,8 @@ def apply_affine_cols(aff, p):
     )
 
 
-def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method="knn"):
+def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method="knn",
+                              knn_stride=1):
     """Inference-time warp: observation samples -> canonical space.
 
     pts: [R, S, 3]; verts: [V, 3]; T: [V, 4, 4] (or [V+J, 4, 4]; only the
@@ -555,7 +585,9 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
     r, s, _ = pts.shape
     flat = pts.reshape(-1, 3)
     if method == "knn":
-        _, f_id, closest_cols = point_mesh_closest_planar(flat, verts, topology, k=k)
+        _, f_id, closest_cols = point_mesh_closest_planar(
+            flat, verts, topology, k=k, knn_stride=knn_stride
+        )
         aff = _blend_inverse_affine(closest_cols, f_id, verts, T, topology)
         can_cols = apply_affine_cols(aff, (flat[:, 0], flat[:, 1], flat[:, 2]))
         can_pts = jnp.stack(can_cols, axis=-1).reshape(r, s, 3)
@@ -572,13 +604,14 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
     return can_pts, can_dirs, closest.reshape(r, s, 3)
 
 
-def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8):
+def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8,
+                                  knn_stride=1):
     """Training-time warp, planar internals: pts [N, 3] -> (can [N, 3],
     f_id [N], signed_dist [N]). Same gradient semantics as
     `warp_samples_to_canonical_diff` (closest point / face choice
     stop-gradient; barycentric T-blend differentiable w.r.t. `verts`)."""
     sd, f_id, closest_cols = _signed_distance_planar(
-        pts, jax.lax.stop_gradient(verts), topology, k=k
+        pts, jax.lax.stop_gradient(verts), topology, k=k, knn_stride=knn_stride
     )
     aff = _blend_inverse_affine(
         closest_cols, f_id, verts, T, topology, differentiable=True

@@ -11,9 +11,16 @@ are passed pre-transposed, and the view-direction head uses the per-ray
 factorization (`dir_part = W_dirs.T @ dir_pe`, [W/2, R], broadcast across
 samples inside the kernel).
 
-Falls back to interpret mode off-TPU so tests run on CPU.
+Tiling: a tile is RT whole rays *flattened into the lane axis* — inputs
+are reshaped host-side to [R/RT, RT*S] so each block is one [1, TN] lane
+vector and the kernel needs no in-kernel reshapes. This only requires
+RT*S % 128 == 0, so odd sample counts (e.g. the hybrid path's S=64 human
+segments) run pad-free; the per-ray direction broadcast is a matmul with a
+0/1 segment matrix instead of a [W/2, RT, S] reshape. Falls back to
+interpret mode off-TPU so tests run on CPU.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -45,6 +52,38 @@ def _weights_t(params, use_viewdirs, width, compute_dtype):
     return ws
 
 
+def pick_tile(r, s, rays_per_tile):
+    """Largest rt <= rays_per_tile with r % rt == 0 and (rt*s) % 128 == 0.
+
+    Returns (rt, pad_s): pad_s > 0 only when no such rt exists (then the
+    sample axis is padded to a 128 multiple and any rt dividing r works)."""
+    for rt in range(min(rays_per_tile, r), 0, -1):
+        if r % rt == 0 and (rt * s) % 128 == 0:
+            return rt, 0
+    pad_s = (-s) % 128
+    rt = min(rays_per_tile, r)
+    while r % rt:
+        rt -= 1
+    return rt, pad_s
+
+
+def _seg_matrix(rt, s, dtype):
+    """[RT, RT*S] 0/1 matrix: row r marks ray r's lanes."""
+    seg = np.zeros((rt, rt * s), np.float32)
+    for i in range(rt):
+        seg[i, i * s : (i + 1) * s] = 1.0
+    return jnp.asarray(seg, dtype)
+
+
+def _pack_planes(planes, rt):
+    """3 x [R, S] -> [R/RT, 3, RT*S]: whole rays flattened into the lane
+    axis, xyz stacked on a middle axis so the block shape (1, 3, TN) is
+    tileable (the trailing dims equal the array dims / are 128-aligned —
+    a (1, TN) 2D block would violate the 8-sublane constraint)."""
+    r, s = planes[0].shape
+    return jnp.stack([p.reshape(r // rt, rt * s) for p in planes], axis=1)
+
+
 def nerf_mlp_pallas(
     spec: JoinerSpec, params, px, py, pz, dir_part, compute_dtype=jnp.bfloat16,
     rays_per_tile=8, interpret=None, dir_planes=None,
@@ -64,19 +103,13 @@ def nerf_mlp_pallas(
     assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
     per_sample = dir_planes is not None
     r, s_orig = px.shape
-    # Mosaic's in-kernel shape casts ([RT, S] <-> [RT*S] flatten, the per-ray
-    # [W/2, RT, S] broadcast) require the lane (sample) axis to be a multiple
-    # of the 128-lane tile; pad with edge samples and slice the outputs back.
-    pad_s = (-s_orig) % 128
+    rt, pad_s = pick_tile(r, s_orig, rays_per_tile)
     if pad_s:
         epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
         px, py, pz = epad(px), epad(py), epad(pz)
         if per_sample:
             dir_planes = tuple(epad(d) for d in dir_planes)
     s = s_orig + pad_s
-    rt = min(rays_per_tile, r)
-    while r % rt:
-        rt -= 1
     tn = rt * s
     n = r * s
     if interpret is None:
@@ -90,7 +123,7 @@ def nerf_mlp_pallas(
     if per_sample:
         wv = params["views_linears"][0]
         w_vd_t = wv["w"][nspec.width :].T.astype(compute_dtype)  # [W/2, Cd]
-        dir_inputs = list(dir_planes)
+        dir_inputs = [_pack_planes(dir_planes, rt)]
     else:
         w_vd_t = None
         dir_inputs = [dir_part]
@@ -98,8 +131,6 @@ def nerf_mlp_pallas(
     skips = nspec.skips
     # 'rotate' PE bases must be kernel INPUTS (Pallas rejects captured
     # constant arrays); None entries keep the ref indexing aligned.
-    import numpy as np
-
     pos_bvals = (
         jnp.asarray(np.array(spec.pos_pe.bvals, dtype=np.float32).reshape(-1, 3))
         if spec.pos_pe.mapping == "rotate"
@@ -111,26 +142,30 @@ def nerf_mlp_pallas(
         else None
     )
 
-    n_extra = (1 if per_sample else 0) + (pos_bvals is not None) + (
-        dir_bvals is not None
-    )
+    extra_weights = [] if per_sample else [_seg_matrix(rt, s, compute_dtype)]
+    if per_sample:
+        extra_weights += [w_vd_t]
+    extra_weights += [b for b in (pos_bvals, dir_bvals) if b is not None]
+    n_extra = len(extra_weights)
 
-    def kernel(px_ref, py_ref, pz_ref, *refs):
+    def kernel(pts_ref, *refs):
         nd = len(dir_inputs)
         dir_refs = refs[:nd]
         wrefs = refs[nd : nd + len(weights) + n_extra]
         out_ref = refs[nd + len(weights) + n_extra]
-        bv_i = len(weights) + (1 if per_sample else 0)
-        pos_bv = wrefs[bv_i][:] if pos_bvals is not None else None
+        ei = len(weights)
+        if not per_sample:
+            seg_t = wrefs[ei][:]  # [RT, TN]
+            ei += 1
+        else:
+            ei += 1  # w_vd_t slot
+        pos_bv = wrefs[ei][:] if pos_bvals is not None else None
         dir_bv = (
-            wrefs[bv_i + (pos_bvals is not None)][:]
+            wrefs[ei + (pos_bvals is not None)][:]
             if dir_bvals is not None
             else None
         )
-        axes = jnp.stack(
-            [px_ref[:].reshape(-1), py_ref[:].reshape(-1), pz_ref[:].reshape(-1)],
-            axis=0,
-        )  # [3, TN]
+        axes = pts_ref[0]  # [3, TN] — one whole-ray tile, no reshapes
         pe = fused.pe_rows(spec.pos_pe, axes, bvals=pos_bv).astype(
             compute_dtype
         )  # [C, TN]
@@ -163,46 +198,40 @@ def nerf_mlp_pallas(
         feat_part = jnp.dot(
             wt_vf, feature.astype(compute_dtype), preferred_element_type=jnp.float32
         )  # [W/2, TN]
-        half = feat_part.shape[0]
         if per_sample:
-            d_axes = jnp.stack(
-                [dir_refs[0][:].reshape(-1), dir_refs[1][:].reshape(-1),
-                 dir_refs[2][:].reshape(-1)],
-                axis=0,
-            )  # [3, TN]
+            d_axes = dir_refs[0][0]  # [3, TN]
             dir_pe = fused.pe_rows(spec.dir_pe, d_axes, bvals=dir_bv).astype(
                 compute_dtype
             )
-            wt_vd = wrefs[wi + 8][:]
+            wt_vd = wrefs[len(weights)][:]
             dir_term = jnp.dot(
                 wt_vd, dir_pe, preferred_element_type=jnp.float32
             )  # [W/2, TN]
             h2 = jnp.maximum(feat_part + dir_term + b_v, 0.0)
         else:
-            dirp = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
-            h2 = jnp.maximum(
-                feat_part.reshape(half, rt, s) + dirp[:, :, None]
-                + b_v[:, :, None],
-                0.0,
-            ).reshape(half, tn)
+            dirp_t = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
+            dir_term = jnp.dot(
+                dirp_t.astype(compute_dtype), seg_t,
+                preferred_element_type=jnp.float32,
+            )  # [W/2, TN] — segment matmul instead of a 3D broadcast
+            h2 = jnp.maximum(feat_part + dir_term + b_v, 0.0)
         rgb = jnp.dot(
             wt_rgb, h2.astype(compute_dtype), preferred_element_type=jnp.float32
         ) + b_rgb  # [3, TN]
         out_ref[:] = jnp.concatenate([alpha, rgb], axis=0)  # [4, TN]
 
     grid = (r // rt,)
-    plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec(
+        (1, 3, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     if per_sample:
-        dir_specs = [plane_spec] * 3
-        extra_weights = [w_vd_t]
+        dir_specs = [plane_spec]
     else:
         dir_specs = [
             pl.BlockSpec(
                 (rt, dir_part.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
         ]
-        extra_weights = []
-    extra_weights += [b for b in (pos_bvals, dir_bvals) if b is not None]
     all_weights = weights + extra_weights
     weight_specs = [
         pl.BlockSpec(
@@ -214,14 +243,15 @@ def nerf_mlp_pallas(
     ]
     out_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    pts = _pack_planes((px, py, pz), rt)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[plane_spec] * 3 + dir_specs + weight_specs,
+        in_specs=[plane_spec] + dir_specs + weight_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
-    )(px, py, pz, *dir_inputs, *all_weights)
+    )(pts, *dir_inputs, *all_weights)
     sigma = out[0].reshape(r, s)[:, :s_orig]
     rgb = [out[1 + c].reshape(r, s)[:, :s_orig] for c in range(3)]
     return sigma, rgb

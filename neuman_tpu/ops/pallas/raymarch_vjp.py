@@ -1,0 +1,410 @@
+"""Custom-VJP Pallas NeRF MLP: fused forward + recompute-in-VMEM backward.
+
+The XLA backward of the 8x256 MLP is HBM-bound: every layer's [256, N]
+activation round-trips HBM between the forward tape and the transposed
+matmuls (measured 11.9 ms fwd+bwd vs 2.9 ms Pallas fwd per [1536, 128]
+application — BASELINE.md). This module keeps the whole fwd+bwd in VMEM:
+
+- forward is the existing `raymarch.nerf_mlp_pallas` kernel;
+- backward is ONE Pallas kernel per tile of rays that (a) recomputes the
+  forward activations in VMEM (bf16), (b) backpropagates the head + trunk,
+  (c) writes per-tile input cotangents, and (d) accumulates weight
+  cotangents across the sequential TPU grid into revisited output blocks.
+  Bias gradients ride along as a trailing ones-row on each activation, so
+  each layer emits a single [O, I+1] block whose last column is db
+  (one output per layer instead of two).
+
+HBM traffic of the backward: sample planes + cotangents + the ~600 KB of
+weight grads — activations never leave the chip.
+
+Gradient semantics match `ops.fused.mlp_planar` under jax.grad (the
+trainer's parity oracle): bf16 dots with f32 accumulation, relu masks from
+the forward values, PE trig recomputed in f32.
+
+Reference being replaced: torch autograd through the MLP family of
+models/vanilla.py:95-152 (the human canonical/offset nets of
+human_nerf_trainer.py:241-380, applied 5x per training step).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neuman_tpu.models.nerf import JoinerSpec
+from neuman_tpu.ops import fused
+from neuman_tpu.ops.pallas import raymarch
+
+
+def _bvals_arrays(pe_spec):
+    if pe_spec.mapping != "rotate":
+        return None, None
+    b = np.array(pe_spec.bvals, dtype=np.float32).reshape(-1, 3)
+    return jnp.asarray(b), jnp.asarray(b.T.copy())
+
+
+def _mlp_bwd(
+    spec: JoinerSpec, params, planes, dir_inputs, g_sigma, g_rgb,
+    compute_dtype, rays_per_tile, per_sample, interpret,
+):
+    """Backward pass. planes: 3 x [R, S]; dir_inputs: 3 x [R, S] planes
+    (per_sample) or a [R, W/2] `dir_projection` (per-ray). Returns
+    (d_params_pytree_leaves..., d_planes 3 x [R, S], d_dir) with d_dir the
+    matching cotangent ([R, S] planes or [R, W/2])."""
+    nspec = spec.nerf
+    depth, width, skips = nspec.depth, nspec.width, nspec.skips
+    half = width // 2
+    px, py, pz = planes
+    r, s_orig = px.shape
+    pad_s = (-s_orig) % 128
+    if pad_s:
+        epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
+        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)))
+        px, py, pz = epad(px), epad(py), epad(pz)
+        g_sigma = zpad(g_sigma)
+        g_rgb = [zpad(c) for c in g_rgb]
+        if per_sample:
+            dir_inputs = [epad(d) for d in dir_inputs]
+    s = s_orig + pad_s
+    rt = min(rays_per_tile, r)
+    while r % rt:
+        rt -= 1
+    tn = rt * s
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cd = compute_dtype
+    if interpret and cd == jnp.bfloat16:
+        cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
+
+    g = jnp.concatenate(
+        [g_sigma.reshape(1, -1)] + [c.reshape(1, -1) for c in g_rgb], axis=0
+    ).astype(jnp.float32)  # [4, N]
+
+    # weights in both orientations (cd) + the biases the recompute needs
+    trunk = params["pts_linears"]
+    fan_ins = [trunk[i]["w"].shape[0] for i in range(depth)]
+    w_list = []
+    for p in trunk:
+        w_list += [p["w"].T.astype(cd), p["w"].astype(cd)]
+    wv = params["views_linears"][0]
+    w_list += [
+        params["alpha_linear"]["w"].T.astype(cd),
+        params["alpha_linear"]["w"].astype(cd),
+        params["feature_linear"]["w"].T.astype(cd),
+        params["feature_linear"]["w"].astype(cd),
+        wv["w"][:width].T.astype(cd),
+        wv["w"][:width].astype(cd),
+        params["rgb_linear"]["w"].T.astype(cd),
+        params["rgb_linear"]["w"].astype(cd),
+    ]
+    if per_sample:
+        w_list += [wv["w"][width:].T.astype(cd), wv["w"][width:].astype(cd)]
+    b_list = [p["b"].reshape(-1, 1) for p in trunk]
+    b_list += [
+        params["feature_linear"]["b"].reshape(-1, 1),
+        wv["b"].reshape(-1, 1),
+    ]
+
+    pos_bv, pos_bvt = _bvals_arrays(spec.pos_pe)
+    dir_bv, dir_bvt = (
+        _bvals_arrays(spec.dir_pe) if per_sample else (None, None)
+    )
+    extra = [a for a in (pos_bv, pos_bvt, dir_bv, dir_bvt) if a is not None]
+    n_pos_bv = 2 if pos_bv is not None else 0
+    if not per_sample:
+        # row r of seg_t marks that ray's lanes: dir_term = dirp_t @ seg_t
+        # and d_dirp_t = d_pre2 (contract lanes) seg_t — avoids 3D
+        # reshape-broadcasts in the kernel
+        seg = np.zeros((rt, tn), np.float32)
+        for i in range(rt):
+            seg[i, i * s : (i + 1) * s] = 1.0
+        extra = extra + [jnp.asarray(seg, cd)]
+    n_w = len(w_list)
+    n_b = len(b_list)
+    n_dir_in = 3 if per_sample else 1
+    cd_dim = spec.dir_pe.out_dim
+
+    def kernel(*refs):
+        px_r, py_r, pz_r = refs[0], refs[1], refs[2]
+        dir_refs = refs[3 : 3 + n_dir_in]
+        g_ref = refs[3 + n_dir_in]
+        base = 4 + n_dir_in
+        wrefs = refs[base : base + n_w]
+        brefs = refs[base + n_w : base + n_w + n_b]
+        erefs = refs[base + n_w + n_b : base + n_w + n_b + len(extra)]
+        out_refs = refs[base + n_w + n_b + len(extra) :]
+
+        p_bv = erefs[0][:] if pos_bv is not None else None
+        p_bvt = erefs[1][:] if pos_bv is not None else None
+        if per_sample:
+            d_bv = erefs[n_pos_bv][:] if dir_bv is not None else None
+            d_bvt = erefs[n_pos_bv + 1][:] if dir_bv is not None else None
+        else:
+            seg_t = erefs[-1][:]
+
+        first = pl.program_id(0) == 0
+
+        def acc(ref, val):
+            @pl.when(first)
+            def _():
+                ref[:] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[:] = ref[:] + val
+
+        def dot_cd(a, b):
+            return jnp.dot(
+                a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32
+            )
+
+        def contract_n(a, b):
+            # [O, TN] x [I, TN] -> [O, I] (both contract on lanes)
+            return jax.lax.dot_general(
+                a.astype(cd), b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        ones = jnp.ones((1, tn), cd)
+
+        # ---- forward recompute (activations stay in VMEM) ----
+        axes = jnp.stack(
+            [px_r[:].reshape(-1), py_r[:].reshape(-1), pz_r[:].reshape(-1)],
+            axis=0,
+        )  # [3, TN] f32
+        pe32 = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv)
+        pe = pe32.astype(cd)
+        hins, posts = [], []
+        h = pe
+        for i in range(depth):
+            hins.append(h)
+            pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
+            post = jnp.maximum(pre, 0.0).astype(cd)
+            posts.append(post)
+            h = jnp.concatenate([pe, post], axis=0) if i in skips else post
+        h_final = h  # == posts[-1] (no skip after the last layer here)
+        wt_f, w_f = wrefs[2 * depth + 2][:], wrefs[2 * depth + 3][:]
+        wt_vf, w_vf = wrefs[2 * depth + 4][:], wrefs[2 * depth + 5][:]
+        w_rgb = wrefs[2 * depth + 7][:]
+        b_f, b_v = brefs[depth][:], brefs[depth + 1][:]
+        feature = (dot_cd(wt_f, h_final) + b_f).astype(cd)
+        feat_part = dot_cd(wt_vf, feature)
+        if per_sample:
+            d_axes_in = jnp.stack(
+                [dir_refs[0][:].reshape(-1), dir_refs[1][:].reshape(-1),
+                 dir_refs[2][:].reshape(-1)],
+                axis=0,
+            )
+            dir_pe32 = fused.pe_rows(spec.dir_pe, d_axes_in, bvals=d_bv)
+            dir_pe = dir_pe32.astype(cd)
+            wt_vd = wrefs[2 * depth + 8][:]
+            pre2 = feat_part + dot_cd(wt_vd, dir_pe) + b_v[:]
+        else:
+            dirp_t = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
+            pre2 = feat_part + dot_cd(dirp_t, seg_t) + b_v[:]
+        h2 = jnp.maximum(pre2, 0.0).astype(cd)
+
+        # ---- backward ----
+        gv = g_ref[:]
+        g_alpha, g_rgb_rows = gv[0:1], gv[1:4]
+        # output block order: d_px, d_py, d_pz, d_dir..., trunk dwts, head dwts
+        o_trunk = out_refs[3 + n_dir_in : 3 + n_dir_in + depth]
+        o_a = out_refs[3 + n_dir_in + depth]
+        o_f = out_refs[3 + n_dir_in + depth + 1]
+        o_vf = out_refs[3 + n_dir_in + depth + 2]
+        o_rgb = out_refs[3 + n_dir_in + depth + 3]
+
+        acc(o_rgb, contract_n(g_rgb_rows, jnp.concatenate([h2, ones], 0)))
+        d_h2 = dot_cd(w_rgb, g_rgb_rows)
+        d_pre2 = jnp.where(pre2 > 0, d_h2, 0.0)
+        if per_sample:
+            o_vd = out_refs[3 + n_dir_in + depth + 4]
+            acc(o_vd, contract_n(d_pre2, dir_pe))
+            w_vd = wrefs[2 * depth + 9][:]
+            d_dirpe = dot_cd(w_vd, d_pre2)
+            dd = fused.pe_rows_bwd(
+                spec.dir_pe, d_axes_in, d_dirpe, bvals=d_bv, bvals_t=d_bvt
+            )
+            for a in range(3):
+                out_refs[3 + a][:] = dd[a].reshape(rt, s)
+        else:
+            # ray-major [RT, W/2] (lane dim must be 128-divisible)
+            out_refs[3][:] = contract_n(seg_t, d_pre2)
+        acc(o_vf, contract_n(d_pre2, jnp.concatenate([feature, ones], 0)))
+        d_feature = dot_cd(w_vf, d_pre2)
+        acc(o_f, contract_n(d_feature, jnp.concatenate([h_final, ones], 0)))
+        d_h = dot_cd(w_f, d_feature)
+        acc(o_a, contract_n(g_alpha, jnp.concatenate([h_final, ones], 0)))
+        d_h = d_h + dot_cd(wrefs[2 * depth + 1][:], g_alpha)
+
+        d_pe_acc = jnp.zeros_like(pe32)
+        for i in reversed(range(depth)):
+            if i in skips:
+                d_pe_acc = d_pe_acc + d_h[: pe.shape[0]]
+                d_h = d_h[pe.shape[0] :]
+            # mask compare in f32 (Mosaic rejects bf16 cmpf)
+            d_pre = jnp.where(posts[i].astype(jnp.float32) > 0, d_h, 0.0)
+            acc(
+                o_trunk[i],
+                contract_n(d_pre, jnp.concatenate([hins[i], ones], 0)),
+            )
+            d_h = dot_cd(wrefs[2 * i + 1][:], d_pre)
+        d_pe_acc = d_pe_acc + d_h
+        d_axes = fused.pe_rows_bwd(
+            spec.pos_pe, axes, d_pe_acc, bvals=p_bv, bvals_t=p_bvt
+        )
+        for a in range(3):
+            out_refs[a][:] = d_axes[a].reshape(rt, s)
+
+    plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if per_sample:
+        dir_specs = [plane_spec] * 3
+    else:
+        dir_specs = [
+            pl.BlockSpec((rt, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+    g_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(
+            a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = (
+        [plane_spec] * 3 + dir_specs + [g_spec]
+        + [full_spec(w) for w in w_list]
+        + [full_spec(b) for b in b_list]
+        + [full_spec(e) for e in extra]
+    )
+
+    acc_spec = lambda shape: (
+        pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+    )
+    out_specs = [plane_spec] * 3
+    out_shapes = [jax.ShapeDtypeStruct((r, s), jnp.float32)] * 3
+    if per_sample:
+        out_specs += [plane_spec] * 3
+        out_shapes += [jax.ShapeDtypeStruct((r, s), jnp.float32)] * 3
+    else:
+        out_specs += [
+            pl.BlockSpec((rt, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((r, half), jnp.float32)]
+    head_shapes = [(width, f + 1) for f in fan_ins]
+    head_shapes += [(1, width + 1), (width, width + 1), (half, width + 1),
+                    (3, half + 1)]
+    if per_sample:
+        head_shapes += [(half, cd_dim)]
+    for shape in head_shapes:
+        sp, sh = acc_spec(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(r // rt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(px, py, pz, *dir_inputs, g, *w_list, *b_list, *extra)
+
+    d_planes = [o[:, :s_orig] for o in outs[:3]]
+    if per_sample:
+        d_dir = [o[:, :s_orig] for o in outs[3:6]]
+        base = 6
+    else:
+        d_dir = outs[3]  # [R, W/2]
+        base = 4
+    dwt_trunk = outs[base : base + depth]
+    dwt_a, dwt_f, dwt_vf, dwt_rgb = outs[base + depth : base + depth + 4]
+    dwt_vd = outs[base + depth + 4] if per_sample else None
+
+    d_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for i in range(depth):
+        d_params["pts_linears"][i]["w"] = dwt_trunk[i][:, : fan_ins[i]].T
+        d_params["pts_linears"][i]["b"] = dwt_trunk[i][:, fan_ins[i]]
+    d_params["alpha_linear"]["w"] = dwt_a[:, :width].T
+    d_params["alpha_linear"]["b"] = dwt_a[:, width]
+    d_params["feature_linear"]["w"] = dwt_f[:, :width].T
+    d_params["feature_linear"]["b"] = dwt_f[:, width]
+    dw_views_top = dwt_vf[:, :width].T  # [W, W/2]
+    if per_sample:
+        dw_views_bot = dwt_vd.T  # [Cd, W/2]
+    else:
+        dw_views_bot = jnp.zeros(
+            (wv["w"].shape[0] - width, half), jnp.float32
+        )  # dir rows get their grad via dir_projection outside
+    d_params["views_linears"][0]["w"] = jnp.concatenate(
+        [dw_views_top, dw_views_bot], axis=0
+    )
+    d_params["views_linears"][0]["b"] = dwt_vf[:, width]
+    d_params["rgb_linear"]["w"] = dwt_rgb[:, :half].T
+    d_params["rgb_linear"]["b"] = dwt_rgb[:, half]
+    return d_params, d_planes, d_dir
+
+
+def make_mlp_vjp(
+    spec: JoinerSpec, compute_dtype=jnp.bfloat16, rays_per_tile=8,
+    per_sample=True, interpret=None,
+):
+    """Differentiable fused MLP: returns f(params, px, py, pz, *dir_args)
+    -> (sigma [R, S], rgb 3 x [R, S]) with a Pallas forward AND backward.
+
+    per_sample=True: dir_args = 3 x [R, S] direction planes (canonical
+    human net). per_sample=False: dir_args = (dir_part [R, W/2],) — the
+    per-ray `raymarch.dir_projection` output, whose own VJP (to dirs and
+    the dir rows of views_linears) runs in XLA outside the kernel.
+    """
+    assert spec.nerf.use_viewdirs
+
+    if per_sample:
+
+        @jax.custom_vjp
+        def f(params, px, py, pz, d0, d1, d2):
+            return raymarch.nerf_mlp_pallas(
+                spec, params, px, py, pz, None, compute_dtype, rays_per_tile,
+                interpret=interpret, dir_planes=(d0, d1, d2),
+            )
+
+        def fwd(params, px, py, pz, d0, d1, d2):
+            return f(params, px, py, pz, d0, d1, d2), (
+                params, px, py, pz, d0, d1, d2,
+            )
+
+        def bwd(res, g):
+            params, px, py, pz, d0, d1, d2 = res
+            g_sigma, g_rgb = g
+            d_params, d_planes, d_dir = _mlp_bwd(
+                spec, params, (px, py, pz), (d0, d1, d2), g_sigma, g_rgb,
+                compute_dtype, rays_per_tile, True, interpret,
+            )
+            return (d_params, *d_planes, *d_dir)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    @jax.custom_vjp
+    def f(params, px, py, pz, dir_part):
+        return raymarch.nerf_mlp_pallas(
+            spec, params, px, py, pz, dir_part, compute_dtype, rays_per_tile,
+            interpret=interpret,
+        )
+
+    def fwd(params, px, py, pz, dir_part):
+        return f(params, px, py, pz, dir_part), (params, px, py, pz, dir_part)
+
+    def bwd(res, g):
+        params, px, py, pz, dir_part = res
+        g_sigma, g_rgb = g
+        d_params, d_planes, d_dir = _mlp_bwd(
+            spec, params, (px, py, pz), (dir_part,), g_sigma, g_rgb,
+            compute_dtype, rays_per_tile, False, interpret,
+        )
+        return (d_params, *d_planes, d_dir)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -112,6 +112,7 @@ def dryrun_human_train_step(n_devices):
         "scene_ids": jnp.arange(num_views, dtype=jnp.int32),
         "grad_masks": jnp.ones((num_views, 72)),
         "knn_k": 4,
+        "knn_stride": getattr(cfg, "knn_stride", 1),
     }
     optimizer = make_optimizer()
     state = {

@@ -389,3 +389,56 @@ def test_pallas_ericson_select_envelope_gradient():
     d2, _, cp = ericson_select_pallas(pts.T, rows2d, cand.T, True)
     expected = 2.0 * (pts.T - jnp.stack(cp, axis=0))
     np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=1e-6)
+
+
+def test_knn_stride_group_query():
+    """Group-KNN (knn_stride > 1): candidates come from the group's middle
+    sample; on a smooth body mesh with ray-ordered points the result is
+    exact for almost all points and never better than the true distance."""
+    import jax.numpy as jnp
+
+    from neuman_tpu.ops import mesh as mesh_ops
+    from neuman_tpu.utils.synthetic_body import synthetic_body_mesh
+
+    verts_np, faces_np = synthetic_body_mesh(subdivisions=3)
+    topo = mesh_ops.MeshTopology.build(faces_np, verts_np.shape[0])
+    verts = jnp.asarray(verts_np)
+
+    # ray-ordered points: 32 rays x 16 samples marching past the surface
+    rng = np.random.default_rng(0)
+    num_rays, s = 32, 16
+    targets = verts_np[rng.integers(0, len(verts_np), num_rays)]
+    origins = targets * 3.0
+    t = np.linspace(0.85, 1.15, s)[None, :, None]
+    pts = jnp.asarray(
+        (origins[:, None] * (1 - t) + targets[:, None] * t).reshape(-1, 3),
+        jnp.float32,
+    )
+
+    d2_ref, f_ref, _ = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=4
+    )
+    d2_brute, _, _ = mesh_ops.point_mesh_closest(
+        np.asarray(pts), verts, topo, method="brute"
+    )
+    d2_s, f_s, _ = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=4, knn_stride=4
+    )
+    # never better than the true distance (it's a candidate-set restriction)
+    assert np.all(np.asarray(d2_s) >= np.asarray(d2_brute) - 1e-6)
+    # distances stay accurate even where the argmin face differs (test rays
+    # are far coarser than production sampling: here ~5% of the body radius
+    # per step vs ~0.4% in training, so this is a conservative bound)
+    match = np.mean(np.asarray(f_s) == np.asarray(f_ref))
+    assert match > 0.85, match
+    d_s = np.sqrt(np.maximum(np.asarray(d2_s), 0))
+    d_b = np.sqrt(np.maximum(np.asarray(d2_brute), 0))
+    rel = (d_s - d_b) / np.maximum(d_b, 1e-6)
+    assert np.mean(rel) < 0.02, np.mean(rel)
+    # group size not dividing N: silently falls back to stride 1
+    d2_f, _, _ = mesh_ops.point_mesh_closest_planar(
+        pts[:-3], verts, topo, k=4, knn_stride=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2_f), np.asarray(d2_ref)[:-3], rtol=1e-5, atol=1e-7
+    )

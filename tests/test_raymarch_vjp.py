@@ -1,0 +1,136 @@
+"""Gradient parity: custom-VJP Pallas MLP vs the XLA planar formulation.
+
+The Pallas pair (fwd kernel + recompute-in-VMEM bwd kernel) must match
+jax.grad through ops.fused.mlp_planar — the trainer's parity oracle — for
+both view-direction modes, w.r.t. params AND inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuman_tpu.models import nerf as nerf_module
+from neuman_tpu.ops import fused
+from neuman_tpu.ops.pallas import raymarch, raymarch_vjp
+
+
+def _spec(posenc="posenc"):
+    class Opt:
+        net_depth = 8
+        net_width = 256
+        use_viewdirs = True
+        max_freq = 9
+        num_freqs = 10
+        max_freq_dir = 3
+        num_freqs_dir = 4
+        min_freq = 0
+        posenc_fn = posenc
+        specular_can = True
+
+    from neuman_tpu.models.embedder import make_embedder
+
+    pos_pe = make_embedder(3, Opt.max_freq, Opt.num_freqs, mapping=posenc)
+    dir_pe = make_embedder(3, Opt.max_freq_dir, Opt.num_freqs_dir,
+                           mapping=posenc)
+    nspec = nerf_module.NeRFSpec(
+        depth=8, width=256, input_ch=pos_pe.out_dim,
+        input_ch_views=dir_pe.out_dim, use_viewdirs=True,
+    )
+    return nerf_module.JoinerSpec(pos_pe=pos_pe, dir_pe=dir_pe, nerf=nspec)
+
+
+def _setup(spec, r=8, s=16, seed=0):
+    params = nerf_module.init_nerf_params(jax.random.PRNGKey(seed), spec.nerf)
+    rng = np.random.default_rng(seed)
+    planes = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32) for _ in range(3)]
+    d = rng.normal(size=(r, s, 3))
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    dir_planes = [jnp.asarray(d[..., a], jnp.float32) for a in range(3)]
+    dirs = jnp.asarray(d[:, 0, :], jnp.float32)
+    g_sig = jnp.asarray(rng.normal(size=(r, s)), jnp.float32)
+    g_rgb = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32) for _ in range(3)]
+    return params, planes, dir_planes, dirs, g_sig, g_rgb
+
+
+def _loss_from(out, g_sig, g_rgb):
+    sigma, rgb = out
+    return jnp.sum(sigma * g_sig) + sum(
+        jnp.sum(rgb[c] * g_rgb[c]) for c in range(3)
+    )
+
+
+def _assert_trees_close(a, b, rtol=2e-3, atol=2e-4, what=""):
+    fa, _ = jax.tree_util.tree_flatten(a)
+    fb, _ = jax.tree_util.tree_flatten(b)
+    assert len(fa) == len(fb)
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
+            err_msg=f"{what} leaf {i}",
+        )
+
+
+@pytest.mark.parametrize("posenc", ["posenc", "rotate"])
+def test_grad_parity_per_sample(posenc):
+    spec = _spec(posenc)
+    params, planes, dir_planes, _, g_sig, g_rgb = _setup(spec)
+    f = raymarch_vjp.make_mlp_vjp(
+        spec, compute_dtype=jnp.float32, interpret=True
+    )
+
+    def loss_pallas(params, planes, dir_planes):
+        return _loss_from(f(params, *planes, *dir_planes), g_sig, g_rgb)
+
+    def loss_xla(params, planes, dir_planes):
+        out = fused.mlp_planar(
+            spec, params, planes, dir_planes, jnp.float32, dirs_per_ray=False
+        )
+        return _loss_from(out, g_sig, g_rgb)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, planes, dir_planes)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, planes, dir_planes)
+    _assert_trees_close(gp[0], gx[0], what="params")
+    _assert_trees_close(gp[1], gx[1], what="planes")
+    _assert_trees_close(gp[2], gx[2], what="dir planes")
+
+
+def test_grad_parity_per_ray():
+    spec = _spec("posenc")
+    params, planes, _, dirs, g_sig, g_rgb = _setup(spec)
+    f = raymarch_vjp.make_mlp_vjp(
+        spec, compute_dtype=jnp.float32, per_sample=False, interpret=True
+    )
+
+    def loss_pallas(params, planes, dirs):
+        dirp = raymarch.dir_projection(spec, params, dirs, jnp.float32)
+        return _loss_from(f(params, *planes, dirp), g_sig, g_rgb)
+
+    def loss_xla(params, planes, dirs):
+        d_ax = [dirs[:, a] for a in range(3)]
+        out = fused.mlp_planar(
+            spec, params, planes, d_ax, jnp.float32, dirs_per_ray=True
+        )
+        return _loss_from(out, g_sig, g_rgb)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, planes, dirs)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, planes, dirs)
+    _assert_trees_close(gp[0], gx[0], what="params")
+    _assert_trees_close(gp[1], gx[1], what="planes")
+    _assert_trees_close(gp[2], gx[2], what="dirs")
+
+
+def test_forward_matches_nonvjp():
+    spec = _spec("rotate")
+    params, planes, dir_planes, _, _, _ = _setup(spec)
+    f = raymarch_vjp.make_mlp_vjp(
+        spec, compute_dtype=jnp.float32, interpret=True
+    )
+    sig_a, rgb_a = f(params, *planes, *dir_planes)
+    sig_b, rgb_b = raymarch.nerf_mlp_pallas(
+        spec, params, *planes, None, jnp.float32, interpret=True,
+        dir_planes=tuple(dir_planes),
+    )
+    np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b))
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(rgb_a[c]), np.asarray(rgb_b[c]))
