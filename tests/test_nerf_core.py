@@ -285,3 +285,49 @@ def test_sort_and_merge_samples():
     z, r = volume.sort_and_merge_samples([z1, z2], [r1, r2])
     np.testing.assert_allclose(np.asarray(z[0]), [1, 2, 3, 4])
     np.testing.assert_allclose(np.asarray(r[0, :, 0]), [1, 2, 3, 4])
+
+
+def test_sample_pdf_gather_free_matches_searchsorted():
+    """The gather-free masked-reduction inverse CDF equals the classic
+    searchsorted + take_along_axis formulation (which it replaced for TPU
+    speed: value-at-sorted-index == masked max/min on monotone arrays)."""
+    import jax
+
+    def ref_pdf(bins, weights, n, key=None, det=False):
+        weights = weights + 1e-5
+        pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+        if det:
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, n), cdf.shape[:-1] + (n,)
+            )
+        else:
+            u = jax.random.uniform(key, cdf.shape[:-1] + (n,))
+        inds = jnp.sum(
+            (u[..., :, None] >= cdf[..., None, :]).astype(jnp.float32), axis=-1
+        ).astype(jnp.int32)
+        below = jnp.maximum(0, inds - 1)
+        above = jnp.minimum(cdf.shape[-1] - 1, inds)
+        cb = jnp.take_along_axis(cdf, below, -1)
+        ca = jnp.take_along_axis(cdf, above, -1)
+        bb = jnp.take_along_axis(bins, below, -1)
+        ba = jnp.take_along_axis(bins, above, -1)
+        denom = ca - cb
+        denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+        return bb + (u - cb) / denom * (ba - bb)
+
+    rng = np.random.default_rng(0)
+    R, B, Q = 32, 33, 17
+    bins = jnp.asarray(np.sort(rng.uniform(0.5, 4.0, (R, B)), -1), jnp.float32)
+    w = jnp.asarray(
+        rng.uniform(0, 1, (R, B - 1)) * (rng.uniform(0, 1, (R, B - 1)) > 0.3),
+        jnp.float32,
+    )
+    for det in (True, False):
+        key = jax.random.PRNGKey(7)
+        a = ray_ops.sample_pdf(bins, w, Q, key=key, det=det)
+        b = ref_pdf(bins, w, Q, key=key, det=det)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
