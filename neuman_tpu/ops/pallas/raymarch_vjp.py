@@ -57,7 +57,20 @@ def _mlp_bwd(
     half = width // 2
     px, py, pz = planes
     r, s_orig = px.shape
-    pad_s = (-s_orig) % 128
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cd = compute_dtype
+    if interpret and cd == jnp.bfloat16:
+        cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
+    # the bwd keeps ~9 activation tensors + dW accumulators live per tile;
+    # f32 doubles that footprint (measured 19.1 MB at rt=8/TN=1024 vs the
+    # 16 MB scoped-vmem limit), so halve the tile for f32 compute. The
+    # whole-ray lane-flat tiling (raymarch.pick_tile) makes small
+    # ray-tiles legal: only RT*S % 128 == 0 is required.
+    rpt_eff = rays_per_tile
+    if cd == jnp.float32 and not interpret:
+        rpt_eff = max(1, rays_per_tile // 2)
+    rt, pad_s = raymarch.pick_tile(r, s_orig, rpt_eff)
     if pad_s:
         epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
         zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)))
@@ -67,15 +80,19 @@ def _mlp_bwd(
         if per_sample:
             dir_inputs = [epad(d) for d in dir_inputs]
     s = s_orig + pad_s
-    rt = min(rays_per_tile, r)
-    while r % rt:
-        rt -= 1
     tn = rt * s
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    cd = compute_dtype
-    if interpret and cd == jnp.bfloat16:
-        cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
+    n = r * s
+    pts = raymarch._pack_planes((px, py, pz), rt)  # [G, 3, TN]
+    if per_sample:
+        dir_packed = raymarch._pack_planes(tuple(dir_inputs), rt)
+    else:
+        # per-ray mode: pre-broadcast the dir projection to a [W/2, N]
+        # dir_term so every kernel block is lane-flat (a [rt, W/2] block
+        # would violate the 8-sublane tiling at small rt). Its cotangent
+        # reduces back to [R, W/2] outside the kernel.
+        dir_packed = jnp.repeat(
+            dir_inputs[0].T.astype(cd), s, axis=1
+        )  # [W/2, N]
 
     g = jnp.concatenate(
         [g_sigma.reshape(1, -1)] + [c.reshape(1, -1) for c in g_rgb], axis=0
@@ -112,24 +129,13 @@ def _mlp_bwd(
     )
     extra = [a for a in (pos_bv, pos_bvt, dir_bv, dir_bvt) if a is not None]
     n_pos_bv = 2 if pos_bv is not None else 0
-    if not per_sample:
-        # row r of seg_t marks that ray's lanes: dir_term = dirp_t @ seg_t
-        # and d_dirp_t = d_pre2 (contract lanes) seg_t — avoids 3D
-        # reshape-broadcasts in the kernel
-        seg = np.zeros((rt, tn), np.float32)
-        for i in range(rt):
-            seg[i, i * s : (i + 1) * s] = 1.0
-        extra = extra + [jnp.asarray(seg, cd)]
     n_w = len(w_list)
     n_b = len(b_list)
-    n_dir_in = 3 if per_sample else 1
     cd_dim = spec.dir_pe.out_dim
 
     def kernel(*refs):
-        px_r, py_r, pz_r = refs[0], refs[1], refs[2]
-        dir_refs = refs[3 : 3 + n_dir_in]
-        g_ref = refs[3 + n_dir_in]
-        base = 4 + n_dir_in
+        pts_ref, dir_ref, g_ref = refs[0], refs[1], refs[2]
+        base = 3
         wrefs = refs[base : base + n_w]
         brefs = refs[base + n_w : base + n_w + n_b]
         erefs = refs[base + n_w + n_b : base + n_w + n_b + len(extra)]
@@ -140,8 +146,6 @@ def _mlp_bwd(
         if per_sample:
             d_bv = erefs[n_pos_bv][:] if dir_bv is not None else None
             d_bvt = erefs[n_pos_bv + 1][:] if dir_bv is not None else None
-        else:
-            seg_t = erefs[-1][:]
 
         first = pl.program_id(0) == 0
 
@@ -169,10 +173,7 @@ def _mlp_bwd(
         ones = jnp.ones((1, tn), cd)
 
         # ---- forward recompute (activations stay in VMEM) ----
-        axes = jnp.stack(
-            [px_r[:].reshape(-1), py_r[:].reshape(-1), pz_r[:].reshape(-1)],
-            axis=0,
-        )  # [3, TN] f32
+        axes = pts_ref[0]  # [3, TN] f32, whole-ray lane tile
         pe32 = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv)
         pe = pe32.astype(cd)
         hins, posts = [], []
@@ -191,46 +192,39 @@ def _mlp_bwd(
         feature = (dot_cd(wt_f, h_final) + b_f).astype(cd)
         feat_part = dot_cd(wt_vf, feature)
         if per_sample:
-            d_axes_in = jnp.stack(
-                [dir_refs[0][:].reshape(-1), dir_refs[1][:].reshape(-1),
-                 dir_refs[2][:].reshape(-1)],
-                axis=0,
-            )
+            d_axes_in = dir_ref[0]  # [3, TN]
             dir_pe32 = fused.pe_rows(spec.dir_pe, d_axes_in, bvals=d_bv)
             dir_pe = dir_pe32.astype(cd)
             wt_vd = wrefs[2 * depth + 8][:]
             pre2 = feat_part + dot_cd(wt_vd, dir_pe) + b_v[:]
         else:
-            dirp_t = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
-            pre2 = feat_part + dot_cd(dirp_t, seg_t) + b_v[:]
+            pre2 = feat_part + dir_ref[:].astype(jnp.float32) + b_v[:]
         h2 = jnp.maximum(pre2, 0.0).astype(cd)
 
         # ---- backward ----
         gv = g_ref[:]
         g_alpha, g_rgb_rows = gv[0:1], gv[1:4]
-        # output block order: d_px, d_py, d_pz, d_dir..., trunk dwts, head dwts
-        o_trunk = out_refs[3 + n_dir_in : 3 + n_dir_in + depth]
-        o_a = out_refs[3 + n_dir_in + depth]
-        o_f = out_refs[3 + n_dir_in + depth + 1]
-        o_vf = out_refs[3 + n_dir_in + depth + 2]
-        o_rgb = out_refs[3 + n_dir_in + depth + 3]
+        # output block order: d_pts, d_dir, trunk dwts, head dwts
+        o_trunk = out_refs[2 : 2 + depth]
+        o_a = out_refs[2 + depth]
+        o_f = out_refs[2 + depth + 1]
+        o_vf = out_refs[2 + depth + 2]
+        o_rgb = out_refs[2 + depth + 3]
 
         acc(o_rgb, contract_n(g_rgb_rows, jnp.concatenate([h2, ones], 0)))
         d_h2 = dot_cd(w_rgb, g_rgb_rows)
         d_pre2 = jnp.where(pre2 > 0, d_h2, 0.0)
         if per_sample:
-            o_vd = out_refs[3 + n_dir_in + depth + 4]
+            o_vd = out_refs[2 + depth + 4]
             acc(o_vd, contract_n(d_pre2, dir_pe))
             w_vd = wrefs[2 * depth + 9][:]
             d_dirpe = dot_cd(w_vd, d_pre2)
             dd = fused.pe_rows_bwd(
                 spec.dir_pe, d_axes_in, d_dirpe, bvals=d_bv, bvals_t=d_bvt
             )
-            for a in range(3):
-                out_refs[3 + a][:] = dd[a].reshape(rt, s)
+            out_refs[1][0] = dd  # [3, TN]
         else:
-            # ray-major [RT, W/2] (lane dim must be 128-divisible)
-            out_refs[3][:] = contract_n(seg_t, d_pre2)
+            out_refs[1][:] = d_pre2  # d(dir_term), [W/2, TN] block
         acc(o_vf, contract_n(d_pre2, jnp.concatenate([feature, ones], 0)))
         d_feature = dot_cd(w_vf, d_pre2)
         acc(o_f, contract_n(d_feature, jnp.concatenate([h_final, ones], 0)))
@@ -254,15 +248,16 @@ def _mlp_bwd(
         d_axes = fused.pe_rows_bwd(
             spec.pos_pe, axes, d_pe_acc, bvals=p_bv, bvals_t=p_bvt
         )
-        for a in range(3):
-            out_refs[a][:] = d_axes[a].reshape(rt, s)
+        out_refs[0][0] = d_axes  # [3, TN]
 
-    plane_spec = pl.BlockSpec((rt, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec(
+        (1, 3, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     if per_sample:
-        dir_specs = [plane_spec] * 3
+        dir_specs = [plane_spec]
     else:
         dir_specs = [
-            pl.BlockSpec((rt, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((half, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
         ]
     g_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
 
@@ -273,7 +268,7 @@ def _mlp_bwd(
         )
 
     in_specs = (
-        [plane_spec] * 3 + dir_specs + [g_spec]
+        [plane_spec] + dir_specs + [g_spec]
         + [full_spec(w) for w in w_list]
         + [full_spec(b) for b in b_list]
         + [full_spec(e) for e in extra]
@@ -283,16 +278,16 @@ def _mlp_bwd(
         pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         jax.ShapeDtypeStruct(shape, jnp.float32),
     )
-    out_specs = [plane_spec] * 3
-    out_shapes = [jax.ShapeDtypeStruct((r, s), jnp.float32)] * 3
+    out_specs = [plane_spec]
+    out_shapes = [jax.ShapeDtypeStruct((r // rt, 3, tn), jnp.float32)]
     if per_sample:
-        out_specs += [plane_spec] * 3
-        out_shapes += [jax.ShapeDtypeStruct((r, s), jnp.float32)] * 3
+        out_specs += [plane_spec]
+        out_shapes += [jax.ShapeDtypeStruct((r // rt, 3, tn), jnp.float32)]
     else:
         out_specs += [
-            pl.BlockSpec((rt, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((half, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
         ]
-        out_shapes += [jax.ShapeDtypeStruct((r, half), jnp.float32)]
+        out_shapes += [jax.ShapeDtypeStruct((half, n), jnp.float32)]
     head_shapes = [(width, f + 1) for f in fan_ins]
     head_shapes += [(1, width + 1), (width, width + 1), (half, width + 1),
                     (3, half + 1)]
@@ -310,15 +305,18 @@ def _mlp_bwd(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(px, py, pz, *dir_inputs, g, *w_list, *b_list, *extra)
+    )(pts, dir_packed, g, *w_list, *b_list, *extra)
 
-    d_planes = [o[:, :s_orig] for o in outs[:3]]
+    def unpack(o):  # [G, 3, TN] -> 3 x [R, s_orig]
+        return [o[:, a].reshape(r, s)[:, :s_orig] for a in range(3)]
+
+    d_planes = unpack(outs[0])
     if per_sample:
-        d_dir = [o[:, :s_orig] for o in outs[3:6]]
-        base = 6
+        d_dir = unpack(outs[1])
     else:
-        d_dir = outs[3]  # [R, W/2]
-        base = 4
+        # d(dir_term) [W/2, N] -> d(dir_part) [R, W/2]: sum each ray's lanes
+        d_dir = jnp.sum(outs[1].reshape(half, r, s), axis=2).T
+    base = 2
     dwt_trunk = outs[base : base + depth]
     dwt_a, dwt_f, dwt_vf, dwt_rgb = outs[base + depth : base + depth + 4]
     dwt_vd = outs[base + depth + 4] if per_sample else None

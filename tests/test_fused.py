@@ -122,3 +122,50 @@ def test_fused_vanilla_render_matches_reference_path():
 
     np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_ref), atol=1e-3)
+
+
+def test_merge_two_sorted_matches_argsort():
+    """Gather-free rank merge == stable argsort+take_along_axis, with ties."""
+    rng = np.random.default_rng(0)
+    r, s1, s2 = 16, 13, 9
+    za = np.sort(rng.integers(0, 12, (r, s1)).astype(np.float32), axis=-1)
+    zb = np.sort(rng.integers(0, 12, (r, s2)).astype(np.float32), axis=-1)
+    ca = rng.normal(size=(r, s1)).astype(np.float32)
+    cb = rng.normal(size=(r, s2)).astype(np.float32)
+    z, (c,) = fused.merge_two_sorted_planar(
+        jnp.asarray(za), jnp.asarray(zb), [jnp.asarray(ca)], [jnp.asarray(cb)]
+    )
+    zc = np.concatenate([za, zb], axis=-1)
+    cc = np.concatenate([ca, cb], axis=-1)
+    order = np.argsort(zc, axis=-1, kind="stable")
+    np.testing.assert_allclose(np.asarray(z), np.take_along_axis(zc, order, -1))
+    np.testing.assert_allclose(np.asarray(c), np.take_along_axis(cc, order, -1))
+
+
+def test_sort_merge_planar_three_way():
+    """K-way merge (multi-person path) equals global stable argsort."""
+    rng = np.random.default_rng(1)
+    r = 8
+    sizes = (7, 5, 11)
+    zs = [np.sort(rng.uniform(0, 4, (r, s)).astype(np.float32), -1) for s in sizes]
+    sgs = [rng.normal(size=(r, s)).astype(np.float32) for s in sizes]
+    rgbs = [[rng.normal(size=(r, s)).astype(np.float32) for _ in range(3)]
+            for s in sizes]
+    z, sg, rgb = fused.sort_merge_planar(
+        [jnp.asarray(a) for a in zs],
+        [jnp.asarray(a) for a in sgs],
+        [[jnp.asarray(c) for c in rr] for rr in rgbs],
+    )
+    zc = np.concatenate(zs, -1)
+    order = np.argsort(zc, axis=-1, kind="stable")
+    np.testing.assert_allclose(np.asarray(z), np.take_along_axis(zc, order, -1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sg),
+        np.take_along_axis(np.concatenate(sgs, -1), order, -1), rtol=1e-6)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(rgb[c]),
+            np.take_along_axis(
+                np.concatenate([rr[c] for rr in rgbs], -1), order, -1),
+            rtol=1e-6)
