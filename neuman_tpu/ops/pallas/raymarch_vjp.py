@@ -406,3 +406,271 @@ def make_mlp_vjp(
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# no-viewdirs MLP (the offset nets): trunk + linear head, custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
+                     interpret):
+    """Fused PE+trunk+linear for OffsetNetSpec-shaped nets.
+
+    planes: D x [R, S] input coordinate planes (D = 4 for (x, y, z, t)).
+    Returns raw outputs as a [O, N] array (scale modes applied by the
+    caller — the ramp scale is a traced scalar). Ref: vanilla.py:169-177.
+    """
+    nspec = spec.nerf
+    depth, skips = nspec.depth, nspec.skips
+    n_out = nspec.output_ch
+    r, s_orig = planes[0].shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cd = compute_dtype
+    if interpret and cd == jnp.bfloat16:
+        cd = jnp.float32
+    rt, pad_s = raymarch.pick_tile(r, s_orig, rays_per_tile)
+    if pad_s:
+        planes = [jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge") for a in planes]
+    s = s_orig + pad_s
+    tn = rt * s
+    n = r * s
+    d_in = len(planes)
+    pts = raymarch._pack_planes(tuple(planes), rt)  # [G, D, TN]
+
+    w_list = []
+    for p in params["pts_linears"]:
+        w_list += [p["w"].T.astype(cd), p["b"].reshape(-1, 1)]
+    w_list += [
+        params["output_linear"]["w"].T.astype(cd),
+        params["output_linear"]["b"].reshape(-1, 1),
+    ]
+    pos_bv, _ = _bvals_arrays(spec.pos_pe)
+    extra = [pos_bv] if pos_bv is not None else []
+
+    def kernel(pts_ref, *refs):
+        wrefs = refs[: len(w_list) + len(extra)]
+        out_ref = refs[len(w_list) + len(extra)]
+        p_bv = wrefs[len(w_list)][:] if pos_bv is not None else None
+        axes = pts_ref[0]  # [D, TN]
+        pe = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv).astype(cd)
+        h = pe
+        for i in range(depth):
+            wt, b = wrefs[2 * i][:], wrefs[2 * i + 1][:]
+            h = jnp.dot(
+                wt, h.astype(cd), preferred_element_type=jnp.float32
+            ) + b
+            h = jnp.maximum(h, 0.0)
+            if i in skips:
+                h = jnp.concatenate([pe, h.astype(cd)], axis=0)
+        wt_o, b_o = wrefs[2 * depth][:], wrefs[2 * depth + 1][:]
+        out_ref[:] = jnp.dot(
+            wt_o, h.astype(cd), preferred_element_type=jnp.float32
+        ) + b_o
+
+    plane_spec = pl.BlockSpec(
+        (1, d_in, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def full_spec(a):
+        return pl.BlockSpec(
+            a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(r // rt,),
+        in_specs=[plane_spec] + [full_spec(w) for w in w_list + extra],
+        out_specs=pl.BlockSpec(
+            (n_out, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, n), jnp.float32),
+        interpret=interpret,
+    )(pts, *w_list, *extra)
+    return [out[c].reshape(r, s)[:, :s_orig] for c in range(n_out)]
+
+
+def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
+                interpret):
+    """Backward for `_offset_fwd_impl`: recompute-in-VMEM, like _mlp_bwd."""
+    nspec = spec.nerf
+    depth, width, skips = nspec.depth, nspec.width, nspec.skips
+    n_out = nspec.output_ch
+    r, s_orig = planes[0].shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cd = compute_dtype
+    if interpret and cd == jnp.bfloat16:
+        cd = jnp.float32
+    rpt_eff = rays_per_tile
+    if cd == jnp.float32 and not interpret:
+        rpt_eff = max(1, rays_per_tile // 2)
+    rt, pad_s = raymarch.pick_tile(r, s_orig, rpt_eff)
+    if pad_s:
+        planes = [jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge") for a in planes]
+        g_rows = [jnp.pad(c, ((0, 0), (0, pad_s))) for c in g_rows]
+    s = s_orig + pad_s
+    tn = rt * s
+    n = r * s
+    d_in = len(planes)
+    pts = raymarch._pack_planes(tuple(planes), rt)
+    g = jnp.concatenate(
+        [c.reshape(1, -1) for c in g_rows], axis=0
+    ).astype(jnp.float32)  # [O, N]
+
+    trunk = params["pts_linears"]
+    fan_ins = [trunk[i]["w"].shape[0] for i in range(depth)]
+    w_list = []
+    for p in trunk:
+        w_list += [p["w"].T.astype(cd), p["w"].astype(cd)]
+    w_list += [
+        params["output_linear"]["w"].T.astype(cd),
+        params["output_linear"]["w"].astype(cd),
+    ]
+    b_list = [p["b"].reshape(-1, 1) for p in trunk]
+    pos_bv, pos_bvt = _bvals_arrays(spec.pos_pe)
+    extra = [a for a in (pos_bv, pos_bvt) if a is not None]
+    n_w = len(w_list)
+    n_b = len(b_list)
+
+    def kernel(pts_ref, g_ref, *refs):
+        wrefs = refs[:n_w]
+        brefs = refs[n_w : n_w + n_b]
+        erefs = refs[n_w + n_b : n_w + n_b + len(extra)]
+        out_refs = refs[n_w + n_b + len(extra) :]
+        p_bv = erefs[0][:] if pos_bv is not None else None
+        p_bvt = erefs[1][:] if pos_bv is not None else None
+
+        first = pl.program_id(0) == 0
+
+        def acc(ref, val):
+            @pl.when(first)
+            def _():
+                ref[:] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[:] = ref[:] + val
+
+        def dot_cd(a, b):
+            return jnp.dot(
+                a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32
+            )
+
+        def contract_n(a, b):
+            return jax.lax.dot_general(
+                a.astype(cd), b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        ones = jnp.ones((1, tn), cd)
+        axes = pts_ref[0]
+        pe32 = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv)
+        pe = pe32.astype(cd)
+        hins, posts = [], []
+        h = pe
+        for i in range(depth):
+            hins.append(h)
+            pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
+            post = jnp.maximum(pre, 0.0).astype(cd)
+            posts.append(post)
+            h = jnp.concatenate([pe, post], axis=0) if i in skips else post
+        h_final = h
+
+        gv = g_ref[:]
+        o_trunk = out_refs[1 : 1 + depth]
+        o_out = out_refs[1 + depth]
+        acc(o_out, contract_n(gv, jnp.concatenate([h_final, ones], 0)))
+        d_h = dot_cd(wrefs[2 * depth + 1][:], gv)
+        d_pe_acc = jnp.zeros_like(pe32)
+        for i in reversed(range(depth)):
+            if i in skips:
+                d_pe_acc = d_pe_acc + d_h[: pe.shape[0]]
+                d_h = d_h[pe.shape[0] :]
+            d_pre = jnp.where(posts[i].astype(jnp.float32) > 0, d_h, 0.0)
+            acc(
+                o_trunk[i],
+                contract_n(d_pre, jnp.concatenate([hins[i], ones], 0)),
+            )
+            d_h = dot_cd(wrefs[2 * i + 1][:], d_pre)
+        d_pe_acc = d_pe_acc + d_h
+        d_axes = fused.pe_rows_bwd(
+            spec.pos_pe, axes, d_pe_acc, bvals=p_bv, bvals_t=p_bvt
+        )
+        out_refs[0][0] = d_axes  # [D, TN]
+
+    plane_spec = pl.BlockSpec(
+        (1, d_in, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (n_out, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    def full_spec(a):
+        return pl.BlockSpec(
+            a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_specs = [plane_spec]
+    out_shapes = [jax.ShapeDtypeStruct((r // rt, d_in, tn), jnp.float32)]
+    for shape in [(width, f + 1) for f in fan_ins] + [(n_out, width + 1)]:
+        out_specs.append(
+            pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(r // rt,),
+        in_specs=[plane_spec, g_spec]
+        + [full_spec(a) for a in w_list + b_list + extra],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(pts, g, *w_list, *b_list, *extra)
+
+    d_planes = [
+        outs[0][:, a].reshape(r, s)[:, :s_orig] for a in range(d_in)
+    ]
+    dwt_trunk = outs[1 : 1 + depth]
+    dwt_out = outs[1 + depth]
+    d_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for i in range(depth):
+        d_params["pts_linears"][i]["w"] = dwt_trunk[i][:, : fan_ins[i]].T
+        d_params["pts_linears"][i]["b"] = dwt_trunk[i][:, fan_ins[i]]
+    d_params["output_linear"]["w"] = dwt_out[:, :width].T
+    d_params["output_linear"]["b"] = dwt_out[:, width]
+    return d_params, d_planes
+
+
+def make_offset_mlp_vjp(
+    spec, compute_dtype=jnp.bfloat16, rays_per_tile=8, interpret=None,
+):
+    """Differentiable fused no-viewdirs MLP: f(params, *planes) -> list of
+    output planes (raw, pre-scale). For OffsetNetSpec (D=4 input) and any
+    use_viewdirs=False NeRFSpec."""
+    assert not spec.nerf.use_viewdirs
+
+    @jax.custom_vjp
+    def f(params, *planes):
+        return _offset_fwd_impl(
+            spec, params, list(planes), compute_dtype, rays_per_tile,
+            interpret,
+        )
+
+    def fwd(params, *planes):
+        return f(params, *planes), (params, planes)
+
+    def bwd(res, g):
+        params, planes = res
+        d_params, d_planes = _offset_bwd(
+            spec, params, list(planes), list(g), compute_dtype,
+            rays_per_tile, interpret,
+        )
+        return (d_params, *d_planes)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -405,6 +405,7 @@ def make_human_loss_fn(spec, opt, ctx):
 
         _mlp_smp = _raymarch_vjp.make_mlp_vjp(spec.human, cd)
         _mlp_ray = _raymarch_vjp.make_mlp_vjp(spec.human, cd, per_sample=False)
+        _mlp_off = _raymarch_vjp.make_offset_mlp_vjp(spec.offset, cd)
 
         def human_mlp_smp(prm, pl, d):
             return _mlp_smp(prm, pl[0], pl[1], pl[2], d[0], d[1], d[2])
@@ -415,6 +416,15 @@ def make_human_loss_fn(spec, opt, ctx):
             )
             return _mlp_ray(prm, pl[0], pl[1], pl[2], dirp)
 
+        def offset_apply(prm, axes, scale):
+            raw = _mlp_off(prm, *axes)
+            st = spec.offset.nerf.scale_type
+            if st == "linear":
+                return [o * scale for o in raw]
+            if st == "tanh":
+                return [jnp.tanh(o) * scale for o in raw]
+            return raw
+
     else:
         human_mlp_ray = jax.checkpoint(
             lambda prm, pl, d: fused_mlp(spec.human, prm, pl, d, cd)
@@ -422,6 +432,9 @@ def make_human_loss_fn(spec, opt, ctx):
         human_mlp_smp = jax.checkpoint(
             lambda prm, pl, d: fused_mlp(spec.human, prm, pl, d, cd, False)
         )
+
+        def offset_apply(prm, axes, scale):
+            return fused.offset_net_planar(spec.offset, prm, axes, scale, cd)
 
     def ray_planes(origin, direction, z):
         return [
@@ -479,14 +492,13 @@ def make_human_loss_fn(spec, opt, ctx):
         t_plane = jnp.full((r, s), batch["cur_view_f"])
         which = jax.random.randint(k_offset, (), 0, spec.num_offset_nets)
         if spec.num_offset_nets == 1:
-            off = fused.offset_net_planar(
-                spec.offset, params["offset_nets"][0],
-                planes + [t_plane], offset_scale, cd,
+            off = offset_apply(
+                params["offset_nets"][0], planes + [t_plane], offset_scale
             )
         else:
             branches = [
-                (lambda p: (lambda _: fused.offset_net_planar(
-                    spec.offset, p, planes + [t_plane], offset_scale, cd
+                (lambda p: (lambda _: offset_apply(
+                    p, planes + [t_plane], offset_scale
                 )))(p)
                 for p in params["offset_nets"]
             ]

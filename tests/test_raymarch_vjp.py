@@ -134,3 +134,45 @@ def test_forward_matches_nonvjp():
     np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b))
     for c in range(3):
         np.testing.assert_allclose(np.asarray(rgb_a[c]), np.asarray(rgb_b[c]))
+
+
+def test_offset_net_vjp_grad_parity():
+    """No-viewdirs (offset net) Pallas pair vs fused.offset_net_planar."""
+    from neuman_tpu.models.embedder import make_embedder
+
+    pos_pe = make_embedder(4, 9, 10, mapping="posenc")
+    nspec = nerf_module.NeRFSpec(
+        depth=8, width=256, input_ch=pos_pe.out_dim, input_ch_views=0,
+        output_ch=3, use_viewdirs=False, scale_type="linear",
+    )
+    spec = nerf_module.OffsetNetSpec(pos_pe=pos_pe, nerf=nspec)
+    params = nerf_module.init_nerf_params(jax.random.PRNGKey(0), nspec)
+    rng = np.random.default_rng(0)
+    r, s = 8, 16
+    planes = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32)
+              for _ in range(4)]
+    g = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32) for _ in range(3)]
+    scale = 0.37
+    f = raymarch_vjp.make_offset_mlp_vjp(
+        spec, compute_dtype=jnp.float32, interpret=True
+    )
+
+    def loss_pallas(params, planes):
+        out = f(params, *planes)
+        return sum(jnp.sum(out[c] * scale * g[c]) for c in range(3))
+
+    def loss_xla(params, planes):
+        out = fused.offset_net_planar(spec, params, planes, scale, jnp.float32)
+        return sum(jnp.sum(out[c] * g[c]) for c in range(3))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(params, planes)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, planes)
+    _assert_trees_close(gp[0], gx[0], what="offset params")
+    _assert_trees_close(gp[1], gx[1], what="offset planes")
+    # forward values too
+    out_p = f(params, *planes)
+    out_x = fused.offset_net_planar(spec, params, planes, 1.0, jnp.float32)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out_p[c]), np.asarray(out_x[c]), rtol=1e-5, atol=1e-6
+        )

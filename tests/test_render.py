@@ -290,3 +290,39 @@ def test_render_vanilla_pallas_matches_fused(model_bundle):
                                          **kw)
     np.testing.assert_allclose(rgb_p, rgb_x, atol=2e-4)
     np.testing.assert_allclose(d_p, d_x, atol=2e-3)
+
+
+def test_vertex_forward_planar_matches_dense(model_bundle):
+    """The planar 12-column affine pipeline equals the dense
+    [V, 4, 4] formulation (matmul chain + linalg.inv) it replaced,
+    including a non-identity rigid alignment."""
+    _, spec, params, body, da = model_bundle
+    # non-trivial affine alignment (rotation + translation, stored
+    # transposed as in alignments.npy)
+    th = 0.4
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0, 0.3],
+         [np.sin(th), np.cos(th), 0, -0.2],
+         [0, 0, 1, 0.5],
+         [0, 0, 0, 1]], dtype=np.float32)
+    params = dict(params)
+    params["alignments"] = jnp.asarray(
+        np.tile(rot.T[None], (3, 1, 1)))
+    scale = 1.7
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=scale, idx=2)
+
+    pose = params["poses"][2][None]
+    beta = params["betas"][2][None]
+    _, t_t2pose = smpl_module.verts_transformations(body, pose, beta)
+    _, t_t2da = smpl_module.verts_transformations(body, da, beta)
+    t_da2pose = t_t2pose @ jnp.linalg.inv(t_t2da)
+    t_ref = params["alignments"][2].T @ t_da2pose
+    s = jnp.eye(4).at[:3, :3].mul(scale)
+    t_ref = s @ t_ref
+    da_verts, _ = smpl_module.smpl_forward(body, da, beta)
+    homog = jnp.concatenate(
+        [da_verts[0], jnp.ones_like(da_verts[0][:, :1])], axis=-1)
+    wv_ref = jnp.einsum("vij,vj->vi", t_ref[0], homog)[:, :3][None]
+
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wv), np.asarray(wv_ref), atol=1e-4)
