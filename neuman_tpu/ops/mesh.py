@@ -281,7 +281,7 @@ def _closest_over_faces(points, verts, face_subset, valid_mask=None):
 
 
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
-                              exact_knn=False, knn_stride=1):
+                              exact_knn=False, knn_stride=1, knn_impl=None):
     """KNN-accelerated closest point with planarized internals.
 
     points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
@@ -307,17 +307,32 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         # offset vs using the first)
         else points.reshape(n_pts // stride, stride, 3)[:, stride // 2]
     )
-    # On TPU: approx_max_k, the hardware bucketed top-k (exact lax.top_k is
-    # a full per-row sort — measured seconds per step at [200k, 6890];
-    # recall equals exact top-k on body meshes, see
-    # tools/bench_mesh_query.py --recall). On CPU (tests): exact top_k.
-    v2 = jnp.sum(verts * verts, axis=-1)[None, :]
-    p2 = jnp.sum(q * q, axis=-1)[:, None]
-    d2_pv = p2 + v2 - 2.0 * (q @ verts.T)
-    if jax.default_backend() == "tpu" and not exact_knn:
-        _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
+    # TPU default: approx_max_k, the hardware bucketed top-k (exact
+    # lax.top_k lowers to full per-row sorts — measured seconds per step
+    # at [200k, 6890]). knn_impl="bucketed" selects the streaming Pallas
+    # kernel instead: equal recall (interleaved buckets, see
+    # tools/bench_mesh_query.py --recall) and the [N, V] distance matrix
+    # (8 GB at training size) never touches HBM, but it measured ~1.3 ms
+    # slower per query on v5e — use it when HBM is the constraint (bigger
+    # scenes / multi-person). CPU (tests): exact top_k.
+    if knn_impl is None:
+        knn_impl = (
+            "approx"
+            if jax.default_backend() == "tpu" and not exact_knn
+            else "exact"
+        )
+    if knn_impl == "bucketed":
+        from neuman_tpu.ops.pallas.meshquery import bucketed_knn_pallas
+
+        knn_idx = bucketed_knn_pallas(q, verts, k)
     else:
-        _, knn_idx = jax.lax.top_k(-d2_pv, k)
+        v2 = jnp.sum(verts * verts, axis=-1)[None, :]
+        p2 = jnp.sum(q * q, axis=-1)[:, None]
+        d2_pv = p2 + v2 - 2.0 * (q @ verts.T)
+        if knn_impl == "approx":
+            _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
+        else:
+            _, knn_idx = jax.lax.top_k(-d2_pv, k)
     knn_idx_s = knn_idx  # strided [Nq, k]: group gathers stay at Nq
     if stride > 1:
         knn_idx = jnp.repeat(knn_idx, stride, axis=0)  # [N, k]

@@ -140,3 +140,106 @@ def _bwd(interpret, res, g):
 
 
 ericson_select_pallas.defvjp(_fwd, _bwd)
+
+
+def bucketed_knn_pallas(points, verts, k, num_buckets=64, interpret=None):
+    """Approximate vertex KNN without materializing [N, V] in HBM.
+
+    Streams the distance computation in VMEM: the vertex table (xyz + |v|^2,
+    [V, 4]) stays resident, each grid step computes per-bucket argmins for a
+    lane-tile of points, and the k best bucket winners are selected outside
+    with a tiny [N, B] top-k + one-hot matmul (no integer gathers). Same
+    structure as jax.lax.approx_max_k (per-bucket extremum + exact top-k of
+    winners), but the XLA path writes + re-reads the full [N, V] distance
+    matrix (8 GB at N=196k, V=10k) while this never leaves the chip.
+
+    Buckets are INTERLEAVED (vertex i -> bucket i % B, via a one-time row
+    permutation of the table): mesh orderings put spatially adjacent
+    vertices at adjacent indices, so contiguous buckets would hold a
+    point's k nearest vertices in one bucket and keep only one of them —
+    interleaving spreads them across buckets (measured 96.1% -> 98.9%
+    exact-face recall at k=4/stride=4 on the body proxy).
+
+    points: [N, 3]; verts: [V, 3]. Returns knn_idx [N, k] int32.
+    Recall measured in tools/bench_mesh_query.py --recall.
+    """
+    n = points.shape[0]
+    v = verts.shape[0]
+    b = num_buckets
+    vb = -(-(-(-v // b)) // 8) * 8  # bucket size rounded to 8 sublanes
+    v_pad = b * vb
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    v2 = jnp.sum(verts * verts, axis=-1, keepdims=True)
+    vtab = jnp.concatenate([verts, v2], axis=-1)  # [V, 4]
+    if v_pad > v:
+        pad = jnp.full((v_pad - v, 4), jnp.inf, vtab.dtype)
+        vtab = jnp.concatenate([vtab, pad.at[:, :3].set(0.0)], axis=0)
+    # interleave: permuted row (bucket, pos) = original index pos*B + bucket
+    vtab = vtab.reshape(vb, b, 4).transpose(1, 0, 2).reshape(v_pad, 4)
+
+    tn = 2048 if n >= 2048 else -(-n // 128) * 128
+    pad_n = (-n) % tn
+    p3 = points.T  # [3, N]
+    if pad_n:
+        p3 = jnp.pad(p3, ((0, 0), (0, pad_n)), mode="edge")
+    n_pad = n + pad_n
+
+    def kernel(p_ref, v_ref, sc_ref, ix_ref):
+        px = p_ref[0:1, :]
+        py = p_ref[1:2, :]
+        pz = p_ref[2:3, :]
+
+        # fori_loop (NOT an unrolled python loop: Mosaic stack-allocates
+        # every unrolled iteration's [VB, TN] score concurrently — 64 MB
+        # at B=32); one live buffer + dynamic-sliced reads/stores.
+        def body(bi, _):
+            sl = pl.ds(bi * vb, vb)
+            # |v|^2 - 2 v.p (the per-point |p|^2 is constant across the
+            # argmin/top-k and is dropped)
+            score = v_ref[sl, 3:4] - 2.0 * (
+                v_ref[sl, 0:1] * px
+                + v_ref[sl, 1:2] * py
+                + v_ref[sl, 2:3] * pz
+            )  # [VB, TN]
+            sc_ref[pl.ds(bi, 1), :] = jnp.min(score, axis=0, keepdims=True)
+            am = jnp.argmin(score, axis=0).astype(jnp.int32)[None, :]
+            # interleaved bucketing: permuted (bucket bi, pos am) was
+            # original index am * B + bi
+            ix_ref[pl.ds(bi, 1), :] = am * b + bi
+            return 0
+
+        jax.lax.fori_loop(0, b, body, 0)
+
+    grid = (n_pad // tn,)
+    sc, ix = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (v_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(p3, vtab)
+    sc = sc[:, :n].T  # [N, B]
+    ix = ix[:, :n].T
+    _, arg = jax.lax.top_k(-sc, k)  # [N, k] positions into the bucket axis
+    # winner indices via one-hot contraction (gather-free)
+    onehot = (
+        arg[..., None] == jnp.arange(b, dtype=jnp.int32)[None, None, :]
+    )  # [N, k, B]
+    knn_idx = jnp.sum(
+        jnp.where(onehot, ix[:, None, :], 0), axis=-1, dtype=jnp.int32
+    )
+    return knn_idx

@@ -62,13 +62,13 @@ def _mlp_bwd(
     cd = compute_dtype
     if interpret and cd == jnp.bfloat16:
         cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
-    # the bwd keeps ~9 activation tensors + dW accumulators live per tile;
-    # f32 doubles that footprint (measured 19.1 MB at rt=8/TN=1024 vs the
-    # 16 MB scoped-vmem limit), so halve the tile for f32 compute. The
-    # whole-ray lane-flat tiling (raymarch.pick_tile) makes small
-    # ray-tiles legal: only RT*S % 128 == 0 is required.
+    # the bwd keeps ~9 activation tensors + dW accumulators live per tile:
+    # measured 19.1 MB (f32) and 16.06 MB (bf16) at rt=8/TN=1024 against
+    # the 16 MB scoped-vmem limit, so always halve the tile vs the fwd
+    # kernel. The whole-ray lane-flat tiling (raymarch.pick_tile) makes
+    # small ray-tiles legal: only RT*S % 128 == 0 is required.
     rpt_eff = rays_per_tile
-    if cd == jnp.float32 and not interpret:
+    if not interpret:
         rpt_eff = max(1, rays_per_tile // 2)
     rt, pad_s = raymarch.pick_tile(r, s_orig, rpt_eff)
     if pad_s:

@@ -442,3 +442,38 @@ def test_knn_stride_group_query():
     np.testing.assert_allclose(
         np.asarray(d2_f), np.asarray(d2_ref)[:-3], rtol=1e-5, atol=1e-7
     )
+
+
+def test_bucketed_knn_per_bucket_argmin():
+    """Every index the streaming KNN returns is its (8-aligned) bucket's
+    true argmin, and the k winners are the k closest bucket minima."""
+    from neuman_tpu.ops.pallas.meshquery import bucketed_knn_pallas
+
+    rng = np.random.default_rng(0)
+    verts = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+    pts = jnp.asarray(rng.normal(size=(40, 3)) * 1.5, jnp.float32)
+    d2 = jnp.sum((pts[:, None] - verts[None]) ** 2, axis=-1)
+    d2n = np.asarray(d2)
+
+    for num_buckets, k in ((12, 4), (6, 3)):
+        got = bucketed_knn_pallas(
+            pts, verts, k, num_buckets=num_buckets, interpret=True
+        )
+        # interleaved buckets: vertex i belongs to bucket i % B
+        members = [
+            np.arange(96)[np.arange(96) % num_buckets == b]
+            for b in range(num_buckets)
+        ]
+        mins = np.stack(
+            [d2n[:, m].min(axis=1) for m in members], axis=1
+        )  # [N, B] per-bucket minima
+        expect_scores = np.sort(mins, axis=1)[:, :k]
+        for n in range(pts.shape[0]):
+            for j in range(k):
+                idx = int(got[n, j])
+                m = members[idx % num_buckets]
+                assert idx == m[np.argmin(d2n[n, m])], (n, j, idx)
+                # winner j is the j-th best bucket minimum
+                np.testing.assert_allclose(
+                    d2n[n, idx], expect_scores[n, j], rtol=1e-5
+                )

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--subdivisions", type=int, default=5,
                     help="icosphere level: 4 -> V=2562, 5 -> V=10242 "
                          "(SMPL V=6890 sits between)")
+    ap.add_argument("--knn_impl", type=str, default=None,
+                    choices=[None, "bucketed", "exact"],
+                    help="force the vertex-KNN implementation")
     ap.add_argument("--exact_knn", action="store_true",
                     help="exact top-k verts (isolates geometric recall "
                          "from approx_max_k)")
@@ -117,7 +120,7 @@ def main():
                 d2_knn, _, _ = jax.jit(
                     lambda p, k=k, st=stride: mesh_ops.point_mesh_closest_planar(
                         p, verts, topo, k=k, exact_knn=args.exact_knn,
-                        knn_stride=st,
+                        knn_stride=st, knn_impl=args.knn_impl,
                     )[:2] + (jnp.zeros(()),)
                 )(pts)
                 d_knn = np.sqrt(np.maximum(np.asarray(d2_knn), 0))
