@@ -10,10 +10,13 @@ import numpy as np
 
 
 def rasterize_mesh(verts_world, faces, cap, light_dir=(0.3, 0.3, -1.0),
-                   base_color=(0.8, 0.8, 0.85)):
+                   base_color=(0.8, 0.8, 0.85), vert_colors=None):
     """Rasterize a triangle mesh seen from `cap`.
 
     verts_world: [V, 3]; faces: [F, 3]. Returns rgba float image [H, W, 4].
+    vert_colors [V, 3] switches from camera-space Lambertian shading to
+    barycentric-interpolated VIEW-CONSISTENT vertex colors (used to
+    generate photometric ground truth for the synthetic quality gate).
     """
     h, w = cap.shape
     k = cap.intrinsic_matrix
@@ -36,6 +39,7 @@ def rasterize_mesh(verts_world, faces, cap, light_dir=(0.3, 0.3, -1.0),
     tri_uv = uv[faces]  # [F, 3, 2]
     tri_z = z[faces]  # [F, 3]
     tri_cam = v_cam[faces]  # [F, 3, 3]
+    tri_col = None if vert_colors is None else np.asarray(vert_colors)[faces]
 
     # face normals + shading in camera space
     n = np.cross(tri_cam[:, 1] - tri_cam[:, 0], tri_cam[:, 2] - tri_cam[:, 0])
@@ -74,7 +78,15 @@ def rasterize_mesh(verts_world, faces, cap, light_dir=(0.3, 0.3, -1.0),
         sub_z = zbuf[y0 : y1 + 1, x0 : x1 + 1]
         upd = inside & (zi < sub_z)
         sub_z[upd] = zi[upd]
-        color[y0 : y1 + 1, x0 : x1 + 1][upd] = base * shade[f]
+        if tri_col is None:
+            color[y0 : y1 + 1, x0 : x1 + 1][upd] = base * shade[f]
+        else:
+            ci = (
+                l0[..., None] * tri_col[f, 0]
+                + l1[..., None] * tri_col[f, 1]
+                + l2[..., None] * tri_col[f, 2]
+            )
+            color[y0 : y1 + 1, x0 : x1 + 1][upd] = ci[upd]
         alpha[y0 : y1 + 1, x0 : x1 + 1][upd] = 1.0
     return np.concatenate([color, alpha[..., None]], axis=-1)
 

@@ -23,11 +23,26 @@ NUM_VERTS = 128
 NUM_BETAS = 10
 
 
-def make_synthetic_smpl_pickle(path, num_verts=NUM_VERTS, num_joints=NUM_JOINTS, seed=7):
-    """Write an SMPL_NEUTRAL.pkl-compatible pickle with synthetic buffers."""
+def make_synthetic_smpl_pickle(path, num_verts=NUM_VERTS, num_joints=NUM_JOINTS, seed=7,
+                               body="random"):
+    """Write an SMPL_NEUTRAL.pkl-compatible pickle with synthetic buffers.
+
+    body="sphere" uses a watertight smooth body-proxy surface
+    (subdivided icosphere, neuman_tpu/utils/synthetic_body.py) instead of
+    a random point cloud — required when the scene needs photometric
+    ground truth for the human (a renderable surface)."""
     rng = np.random.default_rng(seed)
-    # Verts spread around the origin, roughly person-sized.
-    v_template = rng.normal(size=(num_verts, 3)).astype(np.float64) * 0.4
+    if body == "sphere":
+        from neuman_tpu.utils.synthetic_body import synthetic_body_mesh
+
+        v_template, faces = synthetic_body_mesh(subdivisions=3)
+        v_template = v_template.astype(np.float64) * 1.2
+        faces = faces.astype(np.int32)
+        num_verts = len(v_template)
+    else:
+        # Verts spread around the origin, roughly person-sized.
+        v_template = rng.normal(size=(num_verts, 3)).astype(np.float64) * 0.4
+        faces = rng.integers(0, num_verts, size=(2 * num_verts, 3)).astype(np.int32)
     shapedirs = rng.normal(size=(num_verts, 3, NUM_BETAS)) * 0.01
     posedirs = rng.normal(size=(num_verts, 3, (num_joints - 1) * 9)) * 0.001
     j_regressor = rng.uniform(size=(num_joints, num_verts))
@@ -37,7 +52,6 @@ def make_synthetic_smpl_pickle(path, num_verts=NUM_VERTS, num_joints=NUM_JOINTS,
     parents = np.array([0] + list(range(num_joints - 1)), dtype=np.uint32)
     kintree_table = np.stack([parents, np.arange(num_joints, dtype=np.uint32)])
     kintree_table[0, 0] = 4294967295  # SMPL convention for the root
-    faces = rng.integers(0, num_verts, size=(2 * num_verts, 3)).astype(np.int32)
     data = {
         "v_template": v_template,
         "shapedirs": shapedirs,
@@ -62,7 +76,7 @@ def _backdrop_color(x, y):
 
 
 def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3,
-                          renderable=False):
+                          renderable=False, photometric_human=False):
     """Create a synthetic scene directory; returns the scene dir path.
 
     renderable=True replaces the per-frame random-noise images with
@@ -78,7 +92,8 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3,
     rng = np.random.default_rng(seed)
 
     make_synthetic_smpl_pickle(
-        os.path.join(data_dir, "smplx", "smpl", "SMPL_NEUTRAL.pkl")
+        os.path.join(data_dir, "smplx", "smpl", "SMPL_NEUTRAL.pkl"),
+        body="sphere" if photometric_human else "random",
     )
     os.environ["NEUMAN_DATA_ROOT"] = data_dir
 
@@ -160,7 +175,8 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3,
             f.write(f"{i} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 128 128 128 0.5\n")
 
     # SMPL fits: ROMP-format pickle {track_id: {key: [num_video_frames, ...]}}
-    poses = rng.normal(size=(num_frames, NUM_JOINTS * 3)).astype(np.float32) * 0.1
+    pose_scale = 0.05 if photometric_human else 0.1
+    poses = rng.normal(size=(num_frames, NUM_JOINTS * 3)).astype(np.float32) * pose_scale
     betas = rng.normal(size=(num_frames, NUM_BETAS)).astype(np.float32) * 0.1
     raw_smpl = {0: {"pose": poses, "betas": betas}}
     joblib.dump(raw_smpl, os.path.join(scene_dir, "smpl_output_optimized.pkl"))
@@ -172,4 +188,47 @@ def build_synthetic_scene(root, num_frames=NUM_FRAMES, h=H, w=W, seed=3,
         alignments[fname] = a
     np.save(os.path.join(scene_dir, "alignments.npy"), alignments)
 
+    if photometric_human:
+        assert renderable, "photometric human needs the renderable backdrop"
+        _composite_photometric_human(scene_dir, fnames)
+
     return scene_dir
+
+
+def _human_vertex_colors(template):
+    """Smooth view-consistent per-vertex colors from canonical coords."""
+    t = (template - template.mean(axis=0)) / (template.std(axis=0) + 1e-9)
+    r = 0.5 + 0.4 * np.sin(2.0 * t[:, 0] + 0.5)
+    g = 0.5 + 0.4 * np.cos(1.6 * t[:, 1])
+    b = 0.5 + 0.4 * np.sin(1.8 * (t[:, 0] + t[:, 2]))
+    return np.clip(np.stack([r, g, b], axis=-1), 0.05, 0.95)
+
+
+def _composite_photometric_human(scene_dir, fnames):
+    """Rasterize the (sphere-bodied) SMPL human into every frame with
+    view-consistent vertex colors, and rewrite the segmentation masks to
+    the true rasterized coverage. Uses the pipeline's own reader so the
+    geometry (scene normalization, per-frame T_da2scene, posed verts) is
+    exactly what training will later reconstruct against."""
+    from neuman_tpu.data_io.neuman import NeuManReader
+    from neuman_tpu.render.rasterize import rasterize_mesh
+
+    scene = NeuManReader.read_scene(
+        scene_dir, normalize=True, smpl_type="optimized"
+    )
+    faces = np.asarray(scene.faces)[:, :3]
+    colors = _human_vertex_colors(np.asarray(scene.static_vert[0]))
+    for i, fname in enumerate(fnames):
+        cap = scene.captures[i]
+        rgba = rasterize_mesh(
+            np.asarray(scene.verts[i]), faces, cap, vert_colors=colors
+        )
+        a = rgba[..., 3:]
+        img_path = os.path.join(scene_dir, "images", fname)
+        img = imageio.imread(img_path).astype(np.float64) / 255.0
+        out = img * (1 - a) + rgba[..., :3] * a
+        imageio.imwrite(img_path, (np.clip(out, 0, 1) * 255).astype(np.uint8))
+        seg = np.where(rgba[..., 3] > 0.5, 0, 255).astype(np.uint8)
+        imageio.imwrite(
+            os.path.join(scene_dir, "segmentations", fname), seg
+        )
