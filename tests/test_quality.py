@@ -1,16 +1,20 @@
 """Self-contained image-quality gate (the reference's implicit quality bar
 is eval PSNR on real scenes, render_test_views.py:27-41; no real assets are
 mounted, so this gates on a multi-view-consistent RENDERABLE synthetic
-scene — textured backdrop plane + true depths, tests/fixtures.py).
+scene: textured backdrop plane + true depths + a PHOTOMETRIC HUMAN — a
+watertight sphere-proxy SMPL body rasterized into every frame with
+view-consistent vertex colors (tests/fixtures.py), so BOTH branches have
+ground truth.
 
-Two-stage mini-train (bkg 500 iters -> human 150 iters loading the
-pretrained bkg) driven through the real CLIs, then PSNR floors:
-- stage-1 background render: >= 21 dB on background pixels (measured ~25
-  at these settings; a broken renderer/trainer lands at 8-12),
-- stage-2 hybrid test-view render: >= 19 dB on background pixels (the
-  human-blob region has no photometric ground truth — the synthetic SMPL
-  body is a random point cloud — so it is excluded; the gate still
-  exercises the full two-stage pipeline, composition and warp included).
+Two-stage mini-train (bkg 500 iters -> human 300 iters loading the
+pretrained bkg) driven through the real CLIs, then floors:
+- stage-2 hybrid test view: >= 19 dB PSNR on background pixels (measured
+  ~28; a broken renderer/trainer lands at 8-12);
+- human pixels: volume-rendered body opacity (acc) >= 0.7 (measured
+  ~0.93; a broken warp/geometry chain gives ~0), human-region PSNR
+  >= 11.5 dB AND >= background-only + 3 dB (measured ~15 vs ~8 — the
+  discriminative check that the human branch ADDS correct content, not
+  merely that the composite isn't catastrophic).
 
 Recorded as the regression bar in BASELINE.md.
 """
@@ -55,7 +59,9 @@ def renderable_setup(tmp_path_factory):
     from tests.fixtures import build_synthetic_scene
 
     root = tmp_path_factory.mktemp("qgate")
-    scene_dir = build_synthetic_scene(root, renderable=True)
+    scene_dir = build_synthetic_scene(
+        root, renderable=True, photometric_human=True
+    )
     data_root = os.path.join(str(root), "data")
     workdir = str(tmp_path_factory.mktemp("qgate_run"))
     return scene_dir, data_root, workdir
@@ -91,9 +97,10 @@ def test_two_stage_quality_gate(renderable_setup):
             "--train_mode", "smpl_and_offset", "--scene_dir", scene_dir,
             "--name", "qhuman", "--out_dir", os.path.join(workdir, "out"),
             "--load_background", "qbkg",
-            "--rays_per_batch", "256", "--max_iter", "150",
+            "--rays_per_batch", "256", "--max_iter", "300",
             "--valid_iter", "100000", "--dilation", "2",
             "--penalize_lpips", "0", "--geo_threshold", "0.3",
+            "--learning_rate", "2e-3",
         ]
         + TINY,
         data_root, workdir,
@@ -128,6 +135,54 @@ def test_two_stage_quality_gate(renderable_setup):
     psnr_bkg = _psnr(pred, gt, bkg_mask3)
     assert psnr_bkg >= 19.0, f"hybrid bkg-region PSNR {psnr_bkg:.2f} < 19 dB"
 
-    # reference-harness metrics were printed (full-image, incl. the
-    # no-ground-truth human blob)
+    # reference-harness metrics were printed
     assert "psnr" in proc.stdout
+
+    # ---- human-branch gate (in-process renders on the test view) ----
+    import jax  # noqa: F401  (forces CPU via conftest)
+    from neuman_tpu.data_io import neuman
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.options.config import NeuManConfig, apply_mode_defaults
+    from neuman_tpu.render import renderer
+    from neuman_tpu.trainers import checkpoint as ckpt_mod
+
+    cfg = apply_mode_defaults(NeuManConfig(), "smpl_and_offset")
+    cfg.nerf_depth, cfg.nerf_width = 4, 64
+    cfg.pos_N_freqs, cfg.pos_max_freq = 6, 5
+    cfg.dir_N_freqs, cfg.dir_max_freq = 2, 1
+    cfg.samples_per_ray = cfg.importance_samples_per_ray = 16
+    spec = hn.build_human_nerf_spec(cfg)
+    scene = neuman.NeuManReader.read_scene(
+        scene_dir, normalize=True, smpl_type="optimized"
+    )
+    params = ckpt_mod.load_checkpoint(human_ckpt)["hybrid_model"]
+    i = int(fname.split(".")[0])
+    cap = scene.captures[i]
+    rgb, _, acc = renderer.render_hybrid_nerf(
+        spec, params, cap, scene.verts[i], scene.faces, scene.Ts[i],
+        rays_per_batch=1024, samples_per_ray=16,
+        importance_samples_per_ray=16, geo_threshold=0.3, return_acc=True,
+        knn_k=4,
+    )
+    bkg_only, _ = renderer.render_vanilla(
+        spec.bkg, params["coarse_bkg_net"], cap,
+        fine_params=params["fine_bkg_net"], rays_per_batch=1024,
+        samples_per_ray=16, importance_samples_per_ray=16, return_depth=True,
+    )
+    hm = ~bkg_mask
+    gt_f = gt.astype(np.float32) / 255.0
+
+    def region_psnr(img):
+        return -10.0 * np.log10(
+            ((img[hm] - gt_f[hm]) ** 2).mean() + 1e-12
+        )
+
+    acc_mean = float(acc[hm].mean())
+    p_hybrid = region_psnr(np.asarray(rgb, dtype=np.float32))
+    p_bkg_only = region_psnr(np.asarray(bkg_only, dtype=np.float32))
+    assert acc_mean >= 0.7, f"human body acc {acc_mean:.3f} < 0.7"
+    assert p_hybrid >= 11.5, f"human-region PSNR {p_hybrid:.2f} < 11.5 dB"
+    assert p_hybrid >= p_bkg_only + 3.0, (
+        f"human branch adds nothing: hybrid {p_hybrid:.2f} vs "
+        f"bkg-only {p_bkg_only:.2f} dB on human pixels"
+    )

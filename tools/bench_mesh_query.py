@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--ray_points", action="store_true",
                     help="ray-sample-ordered query points (the training "
                          "layout; required for meaningful stride>1 numbers)")
+    ap.add_argument("--sorted_random", action="store_true",
+                    help="uniform box points sorted by Morton code (the "
+                         "dummy-query layout candidate for stride>1)")
     ap.add_argument("--subdivisions", type=int, default=5,
                     help="icosphere level: 4 -> V=2562, 5 -> V=10242 "
                          "(SMPL V=6890 sits between)")
@@ -87,9 +90,26 @@ def main():
         f"incidence_width={topo.incidence.shape[1]} backend={jax.default_backend()}"
     )
 
+    def morton_sorted_box(n, seed=3):
+        rng = np.random.default_rng(seed)
+        pts = ((rng.uniform(size=(n, 3)) - 0.5) * 3.0).astype(np.float32)
+        q = np.clip(((pts + 1.5) / 3.0 * 1023), 0, 1023).astype(np.uint32)
+
+        def spread(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        key = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+        return pts[np.argsort(key)]
+
     def make_points(n):
         if args.ray_points:
             return ray_sample_points(verts_np, n, seed=3)
+        if args.sorted_random:
+            return morton_sorted_box(n)
         return sample_query_points(verts_np, n, seed=3)
 
     if args.recall:
