@@ -516,32 +516,37 @@ def make_human_loss_fn(spec, opt, ctx):
         diffs = [jnp.concatenate([p, p[:, -1:]], axis=1) for p in diffs]
         norm = jnp.sqrt(diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2) + 1e-20
         can_dir_planes = [p / norm for p in diffs]
-        sg, rgb_c = human_mlp_smp(
-            params["coarse_human_net"], can_planes, can_dir_planes
-        )
+        # NOTE: the canonical-net application happens in loss_fn, BATCHED
+        # with the regularizer applications (same weights, same per-sample
+        # math): one kernel invocation over the concatenated ray axis
+        # instead of four — one dW accumulation pass in the custom-VJP
+        # backward instead of four kernels + XLA adds.
         dir_norm = jnp.linalg.norm(direction, axis=-1)
-        return dir_norm, z, can_planes, can_dir_planes, sg, rgb_c
+        return dir_norm, z, can_planes, can_dir_planes
 
-    def color_range_reg(params, can_planes, can_dir_planes, sg, rgb_c, key, weight):
-        r, s = sg.shape
+    def color_dummy_dirs(key, r, s):
         dummy = jax.random.normal(key, (r, s, 3))
         dummy = dummy / jnp.linalg.norm(dummy, axis=-1, keepdims=True)
-        d_planes = [dummy[..., a] for a in range(3)]
-        _, d_rgb = human_mlp_smp(params["coarse_human_net"], can_planes, d_planes)
+        return [dummy[..., a] for a in range(3)]
+
+    def color_range_reg(d_rgb, rgb_c, weight):
+        r, s = rgb_c[0].shape
         se = sum(
             jnp.sum((jax.nn.sigmoid(d_rgb[c]) - jax.nn.sigmoid(rgb_c[c])) ** 2)
             for c in range(3)
         )
         return se / (3 * r * s) * weight
 
-    def sym_reg(params, can_planes, can_dir_planes, sg, weight):
+    def sym_inputs(can_planes, can_dir_planes):
         flip = [
             jax.lax.stop_gradient(-can_planes[0]),
             jax.lax.stop_gradient(can_planes[1]),
             jax.lax.stop_gradient(can_planes[2]),
         ]
         d_sg = [jax.lax.stop_gradient(p) for p in can_dir_planes]
-        sg_flip, _ = human_mlp_smp(params["coarse_human_net"], flip, d_sg)
+        return flip, d_sg
+
+    def sym_reg(sg, sg_flip, weight):
         return (
             jnp.mean(
                 (jnp.tanh(jax.nn.relu(sg)) - jnp.tanh(jax.nn.relu(sg_flip))) ** 2
@@ -549,10 +554,12 @@ def make_human_loss_fn(spec, opt, ctx):
             * weight
         )
 
-    def shape_reg(params, batch, can_planes, can_dir_planes, sg, key,
-                  w_alpha, w_dummy):
+    def shape_dummy_planes(key, r, s):
+        dummy = (jax.random.uniform(key, (r, s, 3)) - 0.5) * 3.0
+        return [dummy[..., a] for a in range(3)]
+
+    def shape_reg(batch, can_planes, sg, d_planes, d_sg, w_alpha, w_dummy):
         can_verts = ctx["can_verts"][batch["cap_id"]]
-        r, s = sg.shape
         flat = jnp.stack([p.reshape(-1) for p in can_planes], axis=-1)
         # warped ray samples stay spatially consecutive -> stride applies
         sd, _, _ = mesh_ops.signed_distance(
@@ -563,13 +570,9 @@ def make_human_loss_fn(spec, opt, ctx):
         occ = 1.0 - jnp.exp(-jax.nn.relu(sg.reshape(-1)))
         reg = _masked_mean((occ - 1.0) ** 2, inside) * w_alpha
 
-        dummy = (jax.random.uniform(key, (r, s, 3)) - 0.5) * 3.0
-        d_planes = [dummy[..., a] for a in range(3)]
-        d_sg, _ = human_mlp_smp(
-            params["coarse_human_net"], d_planes, can_dir_planes
-        )
+        dummy_flat = jnp.stack([p.reshape(-1) for p in d_planes], axis=-1)
         sd_d, _, _ = mesh_ops.signed_distance(
-            dummy.reshape(-1, 3), can_verts, topo, k=knn_k
+            dummy_flat, can_verts, topo, k=knn_k
         )
         sd_d = jax.lax.stop_gradient(sd_d)
         d_inside = (sd_d < 0).astype(jnp.float32)
@@ -629,20 +632,64 @@ def make_human_loss_fn(spec, opt, ctx):
     def loss_fn(params, batch, keys, anneals):
         losses = {name: 0.0 for name in LOSS_NAMES}
         dir_norm, fine_z, f_sg, f_rgb_c = eval_bkg(params, batch)
-        (_, human_z, can_planes, can_dir_planes, h_sg, h_rgb_c) = eval_human(
+        (_, human_z, can_planes, can_dir_planes) = eval_human(
             params, batch, (keys["perturb"], keys["offset"]),
             anneals["offset_scale"],
         )
 
-        if opt.penalize_symmetric_alpha > 0:
+        # ---- batched canonical-net applications ----
+        # main + (optionally) sym / color-range / shape-dummy all apply the
+        # SAME net to [R, S] per-sample inputs: concatenate along the ray
+        # axis and run ONE application (numerically identical per sample).
+        r_app, s_app = can_planes[0].shape
+        apps = [(can_planes, can_dir_planes)]
+        do_sym = opt.penalize_symmetric_alpha > 0
+        do_color = opt.penalize_color_range > 0
+        do_shape = opt.penalize_smpl_alpha > 0
+        if do_sym:
+            apps.append(sym_inputs(can_planes, can_dir_planes))
+        if do_color:
+            apps.append(
+                (can_planes, color_dummy_dirs(keys["color"], r_app, s_app))
+            )
+        d_planes_shape = None
+        if do_shape:
+            d_planes_shape = shape_dummy_planes(keys["dummy"], r_app, s_app)
+            apps.append((d_planes_shape, can_dir_planes))
+        big_p = [
+            jnp.concatenate([a[0][c] for a in apps], axis=0) for c in range(3)
+        ]
+        big_d = [
+            jnp.concatenate([a[1][c] for a in apps], axis=0) for c in range(3)
+        ]
+        big_sg, big_rgb = human_mlp_smp(
+            params["coarse_human_net"], big_p, big_d
+        )
+        chunks_sg = [
+            big_sg[i * r_app : (i + 1) * r_app] for i in range(len(apps))
+        ]
+        chunks_rgb = [
+            [c[i * r_app : (i + 1) * r_app] for c in big_rgb]
+            for i in range(len(apps))
+        ]
+        h_sg, h_rgb_c = chunks_sg[0], chunks_rgb[0]
+        ai = 1
+        if do_sym:
             losses["smpl_sym_reg"] = sym_reg(
-                params, can_planes, can_dir_planes, h_sg, anneals["sym_w"]
+                h_sg, chunks_sg[ai], anneals["sym_w"]
             )
-        if opt.penalize_color_range > 0:
+            ai += 1
+        if do_color:
             losses["color_range_reg"] = color_range_reg(
-                params, can_planes, can_dir_planes, h_sg, h_rgb_c,
-                keys["color"], opt.penalize_color_range,
+                chunks_rgb[ai], h_rgb_c, opt.penalize_color_range
             )
+            ai += 1
+        if do_shape:
+            losses["smpl_shape_reg"] = shape_reg(
+                batch, can_planes, h_sg, d_planes_shape, chunks_sg[ai],
+                anneals["smpl_alpha_w"], anneals["dummy_w"],
+            )
+            ai += 1
         if opt.penalize_mask > 0:
             _, _, human_mask, _, _ = fused.integrate_planar(
                 h_sg, h_rgb_c, human_z, dir_norm, white_bkg=opt.white_bkg
@@ -651,11 +698,6 @@ def make_human_loss_fn(spec, opt, ctx):
             losses["mask_loss"] = (
                 jnp.mean((jnp.clip(human_mask, 0.0, 1.0) - tgt) ** 2)
                 * anneals["mask_w"]
-            )
-        if opt.penalize_smpl_alpha > 0:
-            losses["smpl_shape_reg"] = shape_reg(
-                params, batch, can_planes, can_dir_planes, h_sg, keys["dummy"],
-                anneals["smpl_alpha_w"], anneals["dummy_w"],
             )
         if opt.penalize_sharp_edge > 0 or opt.penalize_hard_surface > 0:
             losses["sparsity_reg"] = sparsity_reg(

@@ -58,13 +58,21 @@ def run_cli(script, args, data_root, cwd):
 def renderable_setup(tmp_path_factory):
     from tests.fixtures import build_synthetic_scene
 
+    # build_synthetic_scene points NEUMAN_DATA_ROOT at THIS scene's
+    # (sphere-bodied) SMPL model; restore afterwards so later test modules
+    # resolve the shared session fixture's model again
+    prev = os.environ.get("NEUMAN_DATA_ROOT")
     root = tmp_path_factory.mktemp("qgate")
     scene_dir = build_synthetic_scene(
         root, renderable=True, photometric_human=True
     )
     data_root = os.path.join(str(root), "data")
     workdir = str(tmp_path_factory.mktemp("qgate_run"))
-    return scene_dir, data_root, workdir
+    yield scene_dir, data_root, workdir
+    if prev is not None:
+        os.environ["NEUMAN_DATA_ROOT"] = prev
+    else:
+        os.environ.pop("NEUMAN_DATA_ROOT", None)
 
 
 def _psnr(a, b, mask=None):

@@ -460,3 +460,64 @@ def test_human_trainer_validate_visuals(human_setup):
     for name in ("val_can", "val_depth", "val_acc", "val_smpl_overlay"):
         hits = glob.glob(os.path.join(trainer.out, f"{name}_*.png"))
         assert hits, f"missing validation image {name}"
+
+
+def test_human_checkpoint_resume(scene, tmp_path):
+    """Human-stage save/resume restores weights, optimizer state, and
+    iteration exactly (ref resume semantics: human_nerf_trainer.py:649-667,
+    checkpoint format with hybrid_model_state_dict: 519-526)."""
+    from neuman_tpu.data_io.neuman import NeuManReader
+
+    cfg = small_cfg(tmp_path, "smpl_and_offset")
+    cfg.rays_per_batch = 64
+    body_model = NeuManReader._body_model()
+    spec = hn.build_human_nerf_spec(cfg)
+    poses = np.stack([s["pose"] for s in scene.smpls])
+    betas = np.stack([s["betas"] for s in scene.smpls])
+    aligns = np.tile(
+        np.eye(4, dtype=np.float32)[None], (len(scene.captures), 1, 1)
+    )
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec, poses, betas, aligns
+    )
+    trainer = HumanNeRFTrainer(
+        cfg, spec, params, scene, list(range(8)), [8], body_model,
+        interval_comp=1.2,
+    )
+    trainer.state, _ = trainer.step_fn(trainer.state)
+    trainer.state, _ = trainer.step_fn(trainer.state)
+    trainer.save_model()
+    w_net = np.asarray(
+        trainer.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]
+    )
+    w_poses = np.asarray(trainer.state["params"]["poses"])
+    opt_leaves = jax.tree_util.tree_leaves(trainer.state["opt_state"])
+
+    cfg2 = small_cfg(tmp_path, "smpl_and_offset")
+    cfg2.rays_per_batch = 64
+    cfg2.resume = True
+    cfg2 = cfg2.finalize()
+    params2 = hn.init_human_nerf_params(
+        jax.random.PRNGKey(11), spec, poses * 0.0, betas, aligns
+    )
+    trainer2 = HumanNeRFTrainer(
+        cfg2, spec, params2, scene, list(range(8)), [8], body_model,
+        interval_comp=1.2,
+    )
+    assert trainer2.iteration == 2
+    np.testing.assert_allclose(
+        np.asarray(
+            trainer2.state["params"]["coarse_human_net"]["pts_linears"][0]["w"]
+        ),
+        w_net,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["params"]["poses"]), w_poses
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer2.state["opt_state"]), opt_leaves
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and training continues from the restored state without error
+    trainer2.state, metrics = trainer2.step_fn(trainer2.state)
+    assert np.isfinite(float(metrics["total_loss"]))
