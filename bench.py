@@ -136,8 +136,65 @@ def main():
         result["human_train_step_ms"] = round(
             bench_human_train_step(args.train_scan_iters), 1
         )
+        result["bkg_train_step_ms"] = round(
+            bench_bkg_train_step(args.train_scan_iters), 1
+        )
     print(json.dumps(result))
     return result
+
+
+def bench_bkg_train_step(scan_iters=10):
+    """Background-stage train step, ms/step on one chip (the LONGER
+    reference schedule: 500k iters x 4096 rays x 128+128 samples,
+    train.py:166-168/223-224; coarse+fine both trainable through the
+    custom-VJP Pallas pair when on TPU)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import nerf as nerf_module
+    from neuman_tpu.options.config import NeuManConfig, apply_mode_defaults
+    from neuman_tpu.parallel.dryrun import synthetic_arrays
+    from neuman_tpu.trainers.background import (
+        make_bkg_train_step,
+        make_optimizer,
+    )
+
+    cfg = apply_mode_defaults(NeuManConfig(), "bkg")
+    cfg.use_pallas = jax.default_backend() == "tpu"
+    num_views = 4
+    arrays = synthetic_arrays(num_views=num_views, h=270, w=480, num_verts=64)
+    spec = nerf_module.build_nerf_specs(cfg)
+    params = {
+        "coarse": nerf_module.init_nerf_params(jax.random.PRNGKey(0), spec.nerf),
+        "fine": nerf_module.init_nerf_params(jax.random.PRNGKey(1), spec.nerf),
+    }
+    optimizer = make_optimizer()
+    state = {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "iteration": jnp.int32(0),
+        "rng": jax.random.PRNGKey(0),
+    }
+    step = make_bkg_train_step(
+        spec, cfg, arrays, list(range(num_views)), optimizer
+    )
+
+    @jax.jit
+    def multi_step(state):
+        def body_fn(st, _):
+            st, m = step(st)
+            return st, m["total_loss"]
+
+        return jax.lax.scan(body_fn, state, None, length=scan_iters)
+
+    state, losses = multi_step(state)
+    float(jnp.sum(losses))
+    t0 = time.time()
+    state, losses = multi_step(state)
+    float(jnp.sum(losses))
+    return (time.time() - t0) / scan_iters * 1e3
 
 
 def bench_human_train_step(scan_iters=10):

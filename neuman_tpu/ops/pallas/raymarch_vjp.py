@@ -37,6 +37,30 @@ from neuman_tpu.ops import fused
 from neuman_tpu.ops.pallas import raymarch
 
 
+def _pick_bwd_tile(r, s, rays_per_tile, target_tn):
+    """Backward tile: largest rt <= rays_per_tile with r % rt == 0 and
+    (rt*s) % 128 == 0 whose lane count rt*s stays within target_tn (the
+    bwd holds ~9 activation tensors + dW accumulators per tile: measured
+    19.9 MB at TN=1024/f32 vs the 16 MB scoped-vmem limit). Falls back to
+    the smallest legal tile, then to sample-axis padding."""
+    valid = [
+        rt
+        for rt in range(min(rays_per_tile, r), 0, -1)
+        if r % rt == 0 and (rt * s) % 128 == 0
+    ]
+    for rt in valid:
+        if rt * s <= target_tn:
+            return rt, 0
+    if valid:
+        return valid[-1], 0
+    pad_s = (-s) % 128
+    sp = s + pad_s
+    for cand in range(min(rays_per_tile, r), 0, -1):
+        if r % cand == 0 and cand * sp <= target_tn:
+            return cand, pad_s
+    return 1, pad_s
+
+
 def _bvals_arrays(pe_spec):
     if pe_spec.mapping != "rotate":
         return None, None
@@ -62,15 +86,12 @@ def _mlp_bwd(
     cd = compute_dtype
     if interpret and cd == jnp.bfloat16:
         cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
-    # the bwd keeps ~9 activation tensors + dW accumulators live per tile:
-    # measured 19.1 MB (f32) and 16.06 MB (bf16) at rt=8/TN=1024 against
-    # the 16 MB scoped-vmem limit, so always halve the tile vs the fwd
-    # kernel. The whole-ray lane-flat tiling (raymarch.pick_tile) makes
-    # small ray-tiles legal: only RT*S % 128 == 0 is required.
-    rpt_eff = rays_per_tile
-    if not interpret:
-        rpt_eff = max(1, rays_per_tile // 2)
-    rt, pad_s = raymarch.pick_tile(r, s_orig, rpt_eff)
+    # lane-budgeted backward tile (f32 doubles the activation footprint)
+    target_tn = 512 if cd == jnp.float32 else 1024
+    if interpret:
+        rt, pad_s = raymarch.pick_tile(r, s_orig, rays_per_tile)
+    else:
+        rt, pad_s = _pick_bwd_tile(r, s_orig, rays_per_tile * 4, target_tn)
     if pad_s:
         epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
         zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)))
@@ -86,13 +107,11 @@ def _mlp_bwd(
     if per_sample:
         dir_packed = raymarch._pack_planes(tuple(dir_inputs), rt)
     else:
-        # per-ray mode: pre-broadcast the dir projection to a [W/2, N]
-        # dir_term so every kernel block is lane-flat (a [rt, W/2] block
-        # would violate the 8-sublane tiling at small rt). Its cotangent
-        # reduces back to [R, W/2] outside the kernel.
-        dir_packed = jnp.repeat(
-            dir_inputs[0].T.astype(cd), s, axis=1
-        )  # [W/2, N]
+        # per-ray mode: dirp packed as [G, RT, W/2] — the trailing dims
+        # equal the array dims so ANY rt is a legal block (a 2D [rt, W/2]
+        # block violates the 8-sublane rule at small rt, and a
+        # pre-broadcast [W/2, N] dir_term costs 0.5 GB HBM at bkg sizes)
+        dir_packed = dir_inputs[0].reshape(r // rt, rt, half)
 
     g = jnp.concatenate(
         [g_sigma.reshape(1, -1)] + [c.reshape(1, -1) for c in g_rgb], axis=0
@@ -129,6 +148,10 @@ def _mlp_bwd(
     )
     extra = [a for a in (pos_bv, pos_bvt, dir_bv, dir_bvt) if a is not None]
     n_pos_bv = 2 if pos_bv is not None else 0
+    if not per_sample:
+        # dir_term = dirp_t @ seg_t (row r of seg_t marks ray r's lanes);
+        # d_dirp = seg_t (contract lanes) d_pre2
+        extra = extra + [raymarch._seg_matrix(rt, s, cd)]
     n_w = len(w_list)
     n_b = len(b_list)
     cd_dim = spec.dir_pe.out_dim
@@ -146,6 +169,8 @@ def _mlp_bwd(
         if per_sample:
             d_bv = erefs[n_pos_bv][:] if dir_bv is not None else None
             d_bvt = erefs[n_pos_bv + 1][:] if dir_bv is not None else None
+        else:
+            seg_t = erefs[-1][:]
 
         first = pl.program_id(0) == 0
 
@@ -198,7 +223,8 @@ def _mlp_bwd(
             wt_vd = wrefs[2 * depth + 8][:]
             pre2 = feat_part + dot_cd(wt_vd, dir_pe) + b_v[:]
         else:
-            pre2 = feat_part + dir_ref[:].astype(jnp.float32) + b_v[:]
+            dirp_t = dir_ref[0].T  # [RT, W/2] tile -> [W/2, RT]
+            pre2 = feat_part + dot_cd(dirp_t, seg_t) + b_v[:]
         h2 = jnp.maximum(pre2, 0.0).astype(cd)
 
         # ---- backward ----
@@ -224,7 +250,7 @@ def _mlp_bwd(
             )
             out_refs[1][0] = dd  # [3, TN]
         else:
-            out_refs[1][:] = d_pre2  # d(dir_term), [W/2, TN] block
+            out_refs[1][0] = contract_n(seg_t, d_pre2)  # d(dirp), [RT, W/2]
         acc(o_vf, contract_n(d_pre2, jnp.concatenate([feature, ones], 0)))
         d_feature = dot_cd(w_vf, d_pre2)
         acc(o_f, contract_n(d_feature, jnp.concatenate([h_final, ones], 0)))
@@ -257,7 +283,9 @@ def _mlp_bwd(
         dir_specs = [plane_spec]
     else:
         dir_specs = [
-            pl.BlockSpec((half, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, rt, half), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ]
     g_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
 
@@ -285,9 +313,11 @@ def _mlp_bwd(
         out_shapes += [jax.ShapeDtypeStruct((r // rt, 3, tn), jnp.float32)]
     else:
         out_specs += [
-            pl.BlockSpec((half, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, rt, half), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ]
-        out_shapes += [jax.ShapeDtypeStruct((half, n), jnp.float32)]
+        out_shapes += [jax.ShapeDtypeStruct((r // rt, rt, half), jnp.float32)]
     head_shapes = [(width, f + 1) for f in fan_ins]
     head_shapes += [(1, width + 1), (width, width + 1), (half, width + 1),
                     (3, half + 1)]
@@ -314,8 +344,7 @@ def _mlp_bwd(
     if per_sample:
         d_dir = unpack(outs[1])
     else:
-        # d(dir_term) [W/2, N] -> d(dir_part) [R, W/2]: sum each ray's lanes
-        d_dir = jnp.sum(outs[1].reshape(half, r, s), axis=2).T
+        d_dir = outs[1].reshape(r, half)
     base = 2
     dwt_trunk = outs[base : base + depth]
     dwt_a, dwt_f, dwt_vf, dwt_rgb = outs[base + depth : base + depth + 4]

@@ -76,6 +76,24 @@ def bkg_loss_fn(
     )
     depth = batch["depth"][:, None]
 
+    # trainable-net application: custom-VJP Pallas pair when enabled
+    # (both bkg nets TRAIN here, unlike the human stage's frozen branch)
+    use_pallas = getattr(opt, "use_pallas", False) and not use_time
+    if use_pallas:
+        from neuman_tpu.ops.pallas import raymarch as _rm
+        from neuman_tpu.ops.pallas import raymarch_vjp as _rv
+
+        _f_ray = _rv.make_mlp_vjp(spec, compute_dtype, per_sample=False)
+
+        def net_apply(prm, planes):
+            dirp = _rm.dir_projection(spec, prm, direction, compute_dtype)
+            return _f_ray(prm, planes[0], planes[1], planes[2], dirp)
+
+    else:
+
+        def net_apply(prm, planes):
+            return fused.mlp_planar(spec, prm, planes, d_ax, compute_dtype)
+
     if use_time:
         t_c = jnp.broadcast_to(
             batch["viewf_list"][:, None], (r, opt.samples_per_ray, 1)
@@ -94,9 +112,7 @@ def bkg_loss_fn(
         d_ax = [direction[:, a] for a in range(3)]
         dir_norm = jnp.linalg.norm(direction, axis=-1)
         planes = [o_ax[a][:, None] + d_ax[a][:, None] * z_vals for a in range(3)]
-        sigma_c, rgb_cc = fused.mlp_planar(
-            spec, params["coarse"], planes, d_ax, compute_dtype
-        )
+        sigma_c, rgb_cc = net_apply(params["coarse"], planes)
         rgb, _, _, weights, _ = fused.integrate_planar(
             sigma_c, rgb_cc, z_vals, dir_norm, white_bkg=opt.white_bkg,
             raw_noise_std=opt.raw_noise_std, key=k_noise_c,
@@ -126,9 +142,7 @@ def bkg_loss_fn(
         sigma_f = f_out[..., 3]
     else:
         planes = [o_ax[a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
-        sigma_f, rgb_cf = fused.mlp_planar(
-            spec, params["fine"], planes, d_ax, compute_dtype
-        )
+        sigma_f, rgb_cf = net_apply(params["fine"], planes)
         f_rgb, _, _, _, _ = fused.integrate_planar(
             sigma_f, rgb_cf, f_z, dir_norm, white_bkg=opt.white_bkg,
             raw_noise_std=opt.raw_noise_std, key=k_noise_f,

@@ -324,8 +324,11 @@ def test_human_loss_planar_matches_reference(use_pallas):
     )
 
 
-def test_bkg_loss_planar_matches_reference():
-    """Planarized bkg loss equals the apply_joiner/raw2outputs formulation."""
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_bkg_loss_planar_matches_reference(use_pallas):
+    """Planarized bkg loss equals the apply_joiner/raw2outputs formulation
+    (use_pallas=True routes both nets through the per-ray custom-VJP
+    Pallas pair, interpret mode on CPU)."""
     import jax.numpy as jnp
 
     from neuman_tpu.models import nerf as nm
@@ -346,6 +349,7 @@ def test_bkg_loss_planar_matches_reference():
     cfg.importance_samples_per_ray = 8
     cfg.rays_per_batch = 64
     cfg.compute_dtype = "float32"
+    cfg.use_pallas = use_pallas
 
     arrays = synthetic_arrays(num_views=4)
     spec = nm.build_nerf_specs(cfg)
@@ -369,6 +373,27 @@ def test_bkg_loss_planar_matches_reference():
     rgb, _, _, w, _ = volume.raw2outputs(out, z, dirs[:, 0, :])
     exp_coarse = float(jnp.mean((rgb - batch["color"]) ** 2))
     assert np.isclose(float(got[0]), exp_coarse, rtol=1e-4), (float(got[0]), exp_coarse)
+    # gradients agree between the XLA planar path and the pallas pair
+    def total(p):
+        out = bkg_loss_fn(p, spec, batch, cfg, 0.1, keys)
+        return out[0] + out[1] + out[2] + out[3]
+    g = jax.grad(total)(params)
+    cfg_x = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
+    import dataclasses
+    try:
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    except TypeError:
+        import copy as _copy
+        cfg_x = _copy.copy(cfg)
+        cfg_x.use_pallas = False
+    def total_x(p):
+        out = bkg_loss_fn(p, spec, batch, cfg_x, 0.1, keys)
+        return out[0] + out[1] + out[2] + out[3]
+    gx = jax.grad(total_x)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
 
 
 def test_smpl_only_mode_freezes_offset_nets(scene, tmp_path):
