@@ -132,7 +132,10 @@ class NeuManConfig:
     seed: int = 42
     data_axis: str = "data"  # mesh axis name for ray-batch sharding
     compute_dtype: str = "float32"  # or "bfloat16" for the MLP matmuls
-    use_pallas: bool = False  # fused Pallas ray-march kernel on the hot path
+    # fused Pallas kernels on the hot paths (render + both train steps).
+    # None = auto: enabled on TPU, off elsewhere (resolved in finalize();
+    # every path has an XLA twin that parity tests pin to the kernels)
+    use_pallas: Optional[bool] = None
 
     # ---- derived (set by finalize) ----
     out: Optional[str] = None
@@ -148,6 +151,10 @@ class NeuManConfig:
 
     def finalize(self):
         """Derived fields + invariants (ref: train.py:237-258)."""
+        if self.use_pallas is None:
+            import jax
+
+            self.use_pallas = jax.default_backend() == "tpu"
         if self.image_height is not None or self.image_width is not None:
             assert self.image_height is not None and self.image_width is not None
             self.tgt_size = (self.image_height, self.image_width)
@@ -221,7 +228,10 @@ def add_cli_args(parser: argparse.ArgumentParser, cfg: NeuManConfig):
         if f.name in ("out", "tb_dir", "load_weights_path", "tgt_size", "render_size"):
             continue  # derived
         value = getattr(cfg, f.name)
-        if f.type in ("bool", bool) or isinstance(value, bool):
+        if (
+            f.type in ("bool", bool, "Optional[bool]", Optional[bool])
+            or isinstance(value, bool)
+        ):
             parser.add_argument(f"--{f.name}", type=str2bool, default=value)
         elif isinstance(value, int):
             parser.add_argument(f"--{f.name}", type=int, default=value)
