@@ -41,7 +41,13 @@ def make_embedder(
 ):
     assert log_sampling, "linear frequency sampling unsupported (ref asserts too)"
     if mapping == "posenc":
-        freqs = 2.0 ** np.linspace(min_freq, max_freq, num=n_freqs)
+        # Bit-parity with the reference (vanilla.py:67-68):
+        # `2.**torch.linspace(...)` rounds the exponents to float32 FIRST,
+        # then pows in extended precision. Matching that exactly matters at
+        # non-integer exponents (min_freq > 0): an ULP of frequency error at
+        # freq~512 becomes ~6e-5 of phase error in the PE output.
+        exps = np.linspace(min_freq, max_freq, num=n_freqs).astype(np.float32)
+        freqs = (2.0 ** exps.astype(np.float64)).astype(np.float32)
         out_dim = (1 if include_input else 0) * input_dims + 2 * n_freqs * input_dims
         return EmbedderSpec(
             mapping="posenc",

@@ -1,0 +1,651 @@
+"""Golden-value parity tests against the ACTUAL PyTorch reference.
+
+These tests import the reference implementation from /root/reference under
+the installed (CPU) torch — models/vanilla.py:17-250, models/smpl.py:266-505,
+utils/ray_utils.py:96-233, utils/render_utils.py:69-105,
+models/human_nerf.py:20-122 — and assert that neuman_tpu reproduces its
+values AND gradients to ~1e-5 on small fixtures. Native deps the reference
+environment would provide (igl, pytorch3d, open3d) are stubbed in
+sys.modules: none of the functions under test here touch them (the igl-based
+warp itself is covered by brute-force oracles in test_mesh_ops.py).
+
+Also covers the torch->npz checkpoint converter round-trip
+(tools/convert_torch_checkpoint.py) on byte-faithful .pth.tar files built
+from real reference nn.Module state_dicts, including the DataParallel
+`module.` prefix (utils/utils.py:225-254) and the hybrid-dict layout
+(human_nerf_trainer.py:519-526).
+"""
+
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REFERENCE = "/root/reference"
+
+_ref_cache = {}
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
+def load_reference():
+    """Import the reference torch modules (cached); returns a namespace."""
+    if _ref_cache:
+        return _ref_cache["ns"]
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+
+    class _Dummy:  # placeholder for pytorch3d renderer classes
+        def __init__(self, *a, **k):
+            raise RuntimeError("pytorch3d stub")
+
+    _stub("igl")
+    _stub("open3d")
+    _stub("lpips")
+    p3d = _stub("pytorch3d")
+    p3d.structures = _stub("pytorch3d.structures", Meshes=_Dummy)
+    p3d.renderer = _stub(
+        "pytorch3d.renderer",
+        **{
+            n: _Dummy
+            for n in (
+                "RasterizationSettings", "MeshRenderer", "MeshRasterizer",
+                "HardPhongShader", "PointLights", "TexturesVertex",
+                "PerspectiveCameras",
+            )
+        },
+    )
+    sys.path.append(REFERENCE)
+    from models import human_nerf as ref_human_nerf
+    from models import smpl as ref_smpl
+    from models import vanilla as ref_vanilla
+    from utils import ray_utils as ref_ray_utils
+    from utils import render_utils as ref_render_utils
+
+    ns = types.SimpleNamespace(
+        vanilla=ref_vanilla,
+        smpl=ref_smpl,
+        ray_utils=ref_ray_utils,
+        render_utils=ref_render_utils,
+        human_nerf=ref_human_nerf,
+    )
+    _ref_cache["ns"] = ns
+    return ns
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def ref_opt(**overrides):
+    """The reference CLI option surface needed by vanilla.build_nerf /
+    build_offset_net / HumanNeRF (options/options.py:47-87, train.py:189-214),
+    at the real default values."""
+    d = dict(
+        raw_pos_dim=3, pos_min_freq=0, pos_max_freq=9, pos_N_freqs=10,
+        raw_dir_dim=3, dir_max_freq=3, dir_N_freqs=4,
+        log_sampling=True, include_input=True, posenc="posenc",
+        can_posenc="rotate", nerf_depth=8, nerf_width=256,
+        use_viewdirs=True, specular_can=True, use_cuda=False,
+        num_offset_nets=1, offset_scale=1.0, offset_scale_type="tanh",
+        out_dir="/nonexistent", load_background="none", load_can="none",
+    )
+    d.update(overrides)
+    return types.SimpleNamespace(**d)
+
+
+def our_cfg(**overrides):
+    from neuman_tpu.options.config import NeuManConfig
+
+    return NeuManConfig(**overrides)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# Embedder (ref models/vanilla.py:17-92)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("min_freq", [0, 2])
+def test_embedder_posenc_parity(ref, min_freq):
+    from neuman_tpu.models import embedder
+
+    e_ref = ref.vanilla.Embedder(3, 9, 10, min_freq=min_freq, mapping="posenc")
+    spec = embedder.make_embedder(3, 9, 10, min_freq=min_freq, mapping="posenc")
+    assert spec.out_dim == e_ref.out_dim
+    x = np.random.default_rng(0).uniform(-2, 2, size=(37, 3)).astype(np.float32)
+    got = np.asarray(embedder.embed(spec, x))
+    want = t2n(e_ref(torch.from_numpy(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+def test_embedder_rotate_parity(ref):
+    from neuman_tpu.models import embedder
+
+    e_ref = ref.vanilla.Embedder(3, 9, 10, min_freq=0, mapping="rotate")
+    spec = embedder.make_embedder(3, 9, 10, min_freq=0, mapping="rotate")
+    assert spec.out_dim == e_ref.out_dim
+    x = np.random.default_rng(1).uniform(-1, 1, size=(23, 3)).astype(np.float32)
+    got = np.asarray(embedder.embed(spec, x))
+    want = t2n(e_ref(torch.from_numpy(x)))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# NeRF MLP values + grads (ref models/vanilla.py:95-250)
+# ---------------------------------------------------------------------------
+
+
+def _convert_joiner(torch_net, use_viewdirs=True, depth=8):
+    from neuman_tpu.trainers import checkpoint as ckpt
+
+    sd = {k: t2n(v) for k, v in torch_net.state_dict().items()}
+    return ckpt.convert_joiner_state_dict(sd, depth=depth, use_viewdirs=use_viewdirs)
+
+
+def test_nerf_mlp_parity_values_and_grads(ref):
+    """The production 8x256 joiner: outputs and input/weight gradients match
+    the real torch module through converted weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import nerf as nerf_module
+
+    torch.manual_seed(0)
+    coarse_t, _ = ref.vanilla.build_nerf(ref_opt())
+    spec = nerf_module.build_nerf_specs(our_cfg())
+    params = _convert_joiner(coarse_t, use_viewdirs=True)
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    want = t2n(coarse_t(torch.from_numpy(pts), torch.from_numpy(dirs)))
+    got = np.asarray(nerf_module.apply_joiner(spec, params, pts, dirs))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # input gradients
+    pts_t = torch.from_numpy(pts).requires_grad_(True)
+    out = coarse_t(pts_t, torch.from_numpy(dirs))
+    out.sum().backward()
+    want_gin = t2n(pts_t.grad)
+
+    def loss_in(p):
+        return jnp.sum(nerf_module.apply_joiner(spec, params, p, dirs))
+
+    got_gin = np.asarray(jax.grad(loss_in)(jnp.asarray(pts)))
+    np.testing.assert_allclose(got_gin, want_gin, atol=5e-4, rtol=1e-4)
+
+    # weight gradients (first + skip trunk layers and the rgb head)
+    coarse_t.zero_grad()
+    coarse_t(torch.from_numpy(pts), torch.from_numpy(dirs)).sum().backward()
+
+    def loss_w(prm):
+        return jnp.sum(nerf_module.apply_joiner(spec, prm, pts, dirs))
+
+    got_gw = jax.grad(loss_w)(jax.tree_util.tree_map(jnp.asarray, params))
+    for i in (0, 5):
+        want_w = t2n(coarse_t.nerf.pts_linears[i].weight.grad).T
+        np.testing.assert_allclose(
+            np.asarray(got_gw["pts_linears"][i]["w"]), want_w,
+            atol=5e-4, rtol=1e-4,
+        )
+    want_rgb = t2n(coarse_t.nerf.rgb_linear.weight.grad).T
+    np.testing.assert_allclose(
+        np.asarray(got_gw["rgb_linear"]["w"]), want_rgb, atol=5e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("scale_type", ["tanh", "linear"])
+def test_offset_net_parity(ref, scale_type):
+    from neuman_tpu.models import nerf as nerf_module
+
+    torch.manual_seed(1)
+    scale = 0.37
+    net_t = ref.vanilla.build_offset_net(
+        ref_opt(offset_scale=scale, offset_scale_type=scale_type)
+    )
+    spec = nerf_module.build_offset_net_spec(
+        our_cfg(offset_scale=scale, offset_scale_type=scale_type)
+    )
+    params = _convert_joiner(net_t, use_viewdirs=False)
+    xt = np.random.default_rng(3).uniform(-1, 1, size=(41, 4)).astype(np.float32)
+    want = t2n(net_t(torch.from_numpy(xt)))
+    got = np.asarray(
+        nerf_module.apply_offset_net(spec, params, xt, scale=scale)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Ray sampling (ref utils/ray_utils.py:96-194)
+# ---------------------------------------------------------------------------
+
+
+def test_ray_to_samples_parity(ref):
+    from neuman_tpu.ops import rays as ray_ops
+
+    rng = np.random.default_rng(4)
+    R, S = 17, 32
+    origin = rng.normal(size=(R, 3)).astype(np.float32)
+    direction = rng.normal(size=(R, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    near = rng.uniform(0.5, 1.0, size=(R, 1)).astype(np.float32)
+    far = rng.uniform(2.0, 4.0, size=(R, 1)).astype(np.float32)
+
+    batch = {
+        "origin": torch.from_numpy(origin),
+        "direction": torch.from_numpy(direction),
+        "near": torch.from_numpy(near),
+        "far": torch.from_numpy(far),
+    }
+    pts_t, dirs_t, z_t = ref.ray_utils.ray_to_samples(batch, S)
+    pts, dirs, z = ray_ops.ray_to_samples(origin, direction, near, far, S)
+    np.testing.assert_allclose(np.asarray(z), t2n(z_t), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pts), t2n(pts_t), atol=1e-5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dirs), t2n(dirs_t), atol=0, rtol=0)
+
+
+def test_sample_pdf_parity(ref):
+    from neuman_tpu.ops import rays as ray_ops
+
+    rng = np.random.default_rng(5)
+    R, B, Q = 13, 31, 24
+    bins = np.sort(rng.uniform(0.5, 4.0, size=(R, B)).astype(np.float32), axis=-1)
+    weights = rng.uniform(0.0, 1.0, size=(R, B - 1)).astype(np.float32)
+    # some nearly-dead rays exercise the denom<1e-5 clamp
+    weights[:3] *= 1e-7
+    want = t2n(
+        ref.ray_utils.sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), Q, det=True
+        )
+    )
+    got = np.asarray(ray_ops.sample_pdf(bins, weights, Q, det=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_ray_to_importance_samples_parity(ref):
+    from neuman_tpu.ops import rays as ray_ops
+
+    rng = np.random.default_rng(6)
+    R, S, I = 9, 24, 16
+    origin = rng.normal(size=(R, 3)).astype(np.float32)
+    direction = rng.normal(size=(R, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    z_vals = np.sort(rng.uniform(1.0, 3.0, size=(R, S)).astype(np.float32), -1)
+    weights = rng.uniform(size=(R, S)).astype(np.float32)
+
+    batch = {
+        "origin": torch.from_numpy(origin),
+        "direction": torch.from_numpy(direction),
+    }
+    pts_t, dirs_t, z_t = ref.ray_utils.ray_to_importance_samples(
+        batch, torch.from_numpy(z_vals), torch.from_numpy(weights), I
+    )
+    pts, dirs, z = ray_ops.ray_to_importance_samples(
+        origin, direction, z_vals, weights, I, det=True
+    )
+    np.testing.assert_allclose(np.asarray(z), t2n(z_t), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pts), t2n(pts_t), atol=5e-5, rtol=1e-5)
+
+
+def test_geometry_guided_near_far_parity(ref):
+    from neuman_tpu.ops import rays as ray_ops
+
+    rng = np.random.default_rng(7)
+    V, R = 200, 32
+    verts = (rng.normal(size=(V, 3)) * 0.3).astype(np.float32)
+    origin = np.tile(np.array([0, 0, -4.0], np.float32), (R, 1))
+    # half the rays aim at the cluster, half far away (clean miss)
+    direction = np.tile(np.array([0, 0, 1.0], np.float32), (R, 1))
+    direction[R // 2:] = np.array([0, 1.0, 0], np.float32)
+    near_t, far_t = ref.ray_utils.geometry_guided_near_far_torch(
+        torch.from_numpy(origin), torch.from_numpy(direction),
+        torch.from_numpy(verts), geo_threshold=0.25,
+    )
+    near, far = ray_ops.geometry_guided_near_far(origin, direction, verts, 0.25)
+    np.testing.assert_allclose(np.asarray(near), t2n(near_t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(far), t2n(far_t), atol=1e-4)
+
+
+def test_raw2outputs_parity(ref):
+    from neuman_tpu.ops import volume
+
+    rng = np.random.default_rng(8)
+    R, S = 11, 20
+    raw = rng.normal(size=(R, S, 4)).astype(np.float32)
+    z_vals = np.sort(rng.uniform(0.5, 3.0, size=(R, S)).astype(np.float32), -1)
+    rays_d = rng.normal(size=(R, 3)).astype(np.float32)
+    for white_bkg in (True, False):
+        want = ref.render_utils.raw2outputs(
+            torch.from_numpy(raw), torch.from_numpy(z_vals),
+            torch.from_numpy(rays_d), white_bkg=white_bkg,
+        )
+        got = volume.raw2outputs(raw, z_vals, rays_d, white_bkg=white_bkg)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), t2n(w), atol=2e-5, rtol=1e-5
+            )
+
+
+# ---------------------------------------------------------------------------
+# SMPL LBS (ref models/smpl.py:266-505)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_model(num_verts=512, num_joints=24):
+    from neuman_tpu.models import smpl as smpl_module
+
+    return smpl_module.synthetic_smpl_model(
+        num_verts=num_verts, num_joints=num_joints
+    )
+
+
+def _model_torch_buffers(model):
+    return dict(
+        v_template=torch.from_numpy(np.asarray(model.v_template)),
+        shapedirs=torch.from_numpy(np.asarray(model.shapedirs)),
+        posedirs=torch.from_numpy(np.asarray(model.posedirs)),
+        J_regressor=torch.from_numpy(np.asarray(model.J_regressor)),
+        parents=torch.tensor(model.parents, dtype=torch.long),
+        lbs_weights=torch.from_numpy(np.asarray(model.lbs_weights)),
+    )
+
+
+def test_batch_rodrigues_parity(ref):
+    from neuman_tpu.models import smpl as smpl_module
+
+    rv = np.random.default_rng(9).normal(size=(48, 3)).astype(np.float32)
+    rv[0] = 0.0  # near-zero rotation exercises the epsilon guard
+    want = t2n(ref.smpl.batch_rodrigues(torch.from_numpy(rv)))
+    got = np.asarray(smpl_module.batch_rodrigues(rv))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+def test_lbs_parity_verts_joints_and_T(ref):
+    from neuman_tpu.models import smpl as smpl_module
+
+    model = _synthetic_model()
+    buf = _model_torch_buffers(model)
+    rng = np.random.default_rng(10)
+    poses = (rng.normal(size=(1, 24 * 3)) * 0.3).astype(np.float32)
+    betas = (rng.normal(size=(1, 10)) * 0.5).astype(np.float32)
+
+    want_v, want_j = ref.smpl.lbs(
+        torch.from_numpy(betas), torch.from_numpy(poses),
+        buf["v_template"], buf["shapedirs"], buf["posedirs"],
+        buf["J_regressor"], buf["parents"], buf["lbs_weights"],
+    )
+    got_v, got_j = smpl_module.lbs(betas, poses, model)
+    np.testing.assert_allclose(np.asarray(got_v), t2n(want_v), atol=5e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_j), t2n(want_j), atol=5e-5, rtol=1e-5)
+
+    for concat_joints in (False, True):
+        want_T, want_vp = ref.smpl.lbs(
+            torch.from_numpy(betas), torch.from_numpy(poses),
+            buf["v_template"], buf["shapedirs"], buf["posedirs"],
+            buf["J_regressor"], buf["parents"], buf["lbs_weights"],
+            return_T=True, concat_joints=concat_joints,
+        )
+        got_T, got_vp = smpl_module.lbs(
+            betas, poses, model, return_T=True, concat_joints=concat_joints
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_T), t2n(want_T), atol=5e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_vp), t2n(want_vp), atol=5e-5, rtol=1e-5
+        )
+
+
+def test_lbs_pose_gradient_parity(ref):
+    """d(verts)/d(poses) matches torch autograd — the learnable-SMPL training
+    mode depends on this (ref human_nerf.py:35-37)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.models import smpl as smpl_module
+
+    model = _synthetic_model(num_verts=128)
+    buf = _model_torch_buffers(model)
+    rng = np.random.default_rng(11)
+    poses = (rng.normal(size=(1, 24 * 3)) * 0.2).astype(np.float32)
+    betas = (rng.normal(size=(1, 10)) * 0.3).astype(np.float32)
+
+    poses_t = torch.from_numpy(poses).requires_grad_(True)
+    betas_t = torch.from_numpy(betas).requires_grad_(True)
+    v, _ = ref.smpl.lbs(
+        betas_t, poses_t, buf["v_template"], buf["shapedirs"], buf["posedirs"],
+        buf["J_regressor"], buf["parents"], buf["lbs_weights"],
+    )
+    v.sum().backward()
+
+    def vsum(p, b):
+        return jnp.sum(smpl_module.lbs(b, p, model)[0])
+
+    got_gp, got_gb = jax.grad(vsum, argnums=(0, 1))(
+        jnp.asarray(poses), jnp.asarray(betas)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_gp), t2n(poses_t.grad), atol=2e-3, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_gb), t2n(betas_t.grad), atol=2e-3, rtol=1e-4
+    )
+
+
+def _reference_smpl_object(ref, model):
+    """A real reference SMPL nn.Module wired to synthetic buffers (bypasses
+    the pkl loader — the MPG-licensed SMPL_NEUTRAL.pkl is not shipped)."""
+    obj = ref.smpl.SMPL.__new__(ref.smpl.SMPL)
+    torch.nn.Module.__init__(obj)
+    obj.dtype = torch.float32
+    obj.device = torch.device("cpu")
+    for k, v in _model_torch_buffers(model).items():
+        setattr(obj, k, v)
+    return obj
+
+
+def test_vertex_forward_parity(ref):
+    """Our planar 12-column affine vertex_forward vs the REAL reference
+    HumanNeRF.vertex_forward (models/human_nerf.py:92-122) running the
+    reference SMPL module."""
+    from neuman_tpu.models import human_nerf as hn
+
+    model = _synthetic_model(num_verts=256)
+    rng = np.random.default_rng(12)
+    num_views = 3
+    poses = (rng.normal(size=(num_views, 72)) * 0.2).astype(np.float32)
+    betas = (rng.normal(size=(num_views, 10)) * 0.3).astype(np.float32)
+    # alignments.npy stores the TRANSPOSE of the affine transform: the used
+    # matrix is `temp_alignment.T` (neuman_helper.py:289-312, train.py:99-103),
+    # so build affine A then store A.T — column 3 of the stored matrix is e4.
+    affine = np.tile(np.eye(4, dtype=np.float32)[None], (num_views, 1, 1))
+    affine[:, :3, 3] = rng.normal(size=(num_views, 3)).astype(np.float32) * 0.1
+    rot = ref.smpl.batch_rodrigues(
+        torch.from_numpy((rng.normal(size=(num_views, 3)) * 0.3).astype(np.float32))
+    )
+    affine[:, :3, :3] = t2n(rot)
+    aligns = np.ascontiguousarray(np.swapaxes(affine, 1, 2))
+    scale = 1.7
+
+    torch.manual_seed(2)
+    net = ref.human_nerf.HumanNeRF(ref_opt(nerf_width=32))
+    net.body_model = _reference_smpl_object(ref, model)
+    net.poses = torch.nn.Parameter(torch.from_numpy(poses))
+    net.betas = torch.nn.Parameter(torch.from_numpy(betas))
+    net.alignments = torch.nn.Parameter(torch.from_numpy(aligns))
+    net.scale = scale
+    da = torch.zeros(24, 3)
+    da[1] = torch.tensor([0, 0, 1.0])
+    da[2] = torch.tensor([0, 0, -1.0])
+    net.da_smpl = torch.nn.Parameter(da.reshape(1, -1))
+
+    spec = hn.build_human_nerf_spec(our_cfg(nerf_width=32))
+    import jax
+
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec, poses=poses, betas=betas, alignments=aligns
+    )
+    da_smpl = hn.da_pose_params(24)
+    for idx in range(num_views):
+        want_v, want_T = net.vertex_forward(idx)
+        got_v, got_T = hn.vertex_forward(
+            spec, params, model, da_smpl, scale, idx
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v), t2n(want_v), atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_T), t2n(want_T), atol=1e-4, rtol=1e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint converter round-trip on real reference state dicts
+# ---------------------------------------------------------------------------
+
+
+def test_bkg_checkpoint_convert_roundtrip(ref, tmp_path):
+    """Byte-faithful bkg checkpoint (DataParallel `module.` prefix, the
+    layout of vanilla_nerf_trainer.py:184-193) through the converter; the
+    converted nets must reproduce the torch forward."""
+    from neuman_tpu.models import nerf as nerf_module
+    from neuman_tpu.trainers import checkpoint as ckpt
+
+    torch.manual_seed(3)
+    coarse_t, fine_t = ref.vanilla.build_nerf(ref_opt())
+    coarse_dp = torch.nn.DataParallel(coarse_t)  # train.py:26-28
+    saved = {
+        "epoch": 3,
+        "iteration": 1234,
+        "optim_state_dict": {},
+        "coarse_model_state_dict": coarse_dp.state_dict(),
+        "fine_model_state_dict": fine_t.state_dict(),
+    }
+    path = tmp_path / "checkpoint.pth.tar"
+    torch.save(saved, path)
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    assert all(
+        k.startswith("module.") for k in loaded["coarse_model_state_dict"]
+    )
+    to_np = lambda sd: {k: t2n(v) for k, v in sd.items()}
+    coarse_params = ckpt.convert_joiner_state_dict(
+        to_np(loaded["coarse_model_state_dict"]), depth=8, use_viewdirs=True
+    )
+    fine_params = ckpt.convert_joiner_state_dict(
+        to_np(loaded["fine_model_state_dict"]), depth=8, use_viewdirs=True
+    )
+
+    spec = nerf_module.build_nerf_specs(our_cfg())
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(-1, 1, size=(32, 3)).astype(np.float32)
+    dirs = rng.normal(size=(32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for torch_net, params in ((coarse_t, coarse_params), (fine_t, fine_params)):
+        want = t2n(torch_net(torch.from_numpy(pts), torch.from_numpy(dirs)))
+        got = np.asarray(nerf_module.apply_joiner(spec, params, pts, dirs))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_hybrid_checkpoint_convert_cli_roundtrip(ref, tmp_path):
+    """The full tools/convert_torch_checkpoint.py CLI on a real
+    HumanNeRF.state_dict() (hybrid layout, human_nerf_trainer.py:519-526)
+    with num_offset_nets=2 and learnable SMPL params; every converted net
+    must reproduce its torch counterpart, and poses/betas/alignments must
+    survive bit-exact."""
+    import jax
+
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.models import nerf as nerf_module
+    from neuman_tpu.trainers import checkpoint as ckpt
+
+    torch.manual_seed(4)
+    opt = ref_opt(num_offset_nets=2, offset_scale=0.5, offset_scale_type="tanh")
+    net = ref.human_nerf.HumanNeRF(opt)
+    sd = net.state_dict()
+    rng = np.random.default_rng(14)
+    num_views = 2
+    poses = (rng.normal(size=(num_views, 72)) * 0.2).astype(np.float32)
+    betas = (rng.normal(size=(num_views, 10)) * 0.3).astype(np.float32)
+    aligns = np.tile(np.eye(4, dtype=np.float32)[None], (num_views, 1, 1))
+    # the reference registers these as nn.Parameters when poses are provided
+    # (human_nerf.py:35-37); inject them without requiring the SMPL pkl
+    sd["poses"] = torch.from_numpy(poses)
+    sd["betas"] = torch.from_numpy(betas)
+    sd["alignments"] = torch.from_numpy(aligns)
+
+    src = tmp_path / "human_checkpoint.pth.tar"
+    dst = tmp_path / "human_checkpoint.npz"
+    torch.save(
+        {"epoch": 1, "iteration": 77, "optim_state_dict": {},
+         "hybrid_model_state_dict": sd},
+        src,
+    )
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "convert_torch_checkpoint.py"),
+            "--input", str(src), "--output", str(dst),
+            "--kind", "hybrid", "--num_offset_nets", "2",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr
+    loaded = ckpt.load_checkpoint(str(dst))
+    assert int(loaded["iteration"]) == 77
+    params = loaded["hybrid_model"]
+
+    np.testing.assert_array_equal(np.asarray(params["poses"]), poses)
+    np.testing.assert_array_equal(np.asarray(params["betas"]), betas)
+    np.testing.assert_array_equal(np.asarray(params["alignments"]), aligns)
+
+    cfg = our_cfg(num_offset_nets=2, offset_scale=0.5, offset_scale_type="tanh")
+    spec = hn.build_human_nerf_spec(cfg)
+    rng = np.random.default_rng(15)
+    pts = rng.uniform(-1, 1, size=(32, 3)).astype(np.float32)
+    dirs = rng.normal(size=(32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts_t4 = rng.uniform(-1, 1, size=(32, 4)).astype(np.float32)
+
+    # background nets
+    for name, apply_fn in (
+        ("coarse_bkg_net", hn.apply_coarse_bkg),
+        ("fine_bkg_net", hn.apply_fine_bkg),
+    ):
+        want = t2n(getattr(net, name)(torch.from_numpy(pts), torch.from_numpy(dirs)))
+        got = np.asarray(apply_fn(spec, params, pts, dirs))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5, err_msg=name)
+
+    # canonical net ('rotate' PE, viewdirs via specular_can)
+    want = t2n(net.coarse_human_net(torch.from_numpy(pts), torch.from_numpy(dirs)))
+    got = np.asarray(hn.apply_coarse_human(spec, params, pts, dirs))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # both offset nets, individually indexed
+    for i in range(2):
+        want = t2n(net.offset_nets[i](torch.from_numpy(pts_t4)))
+        got = np.asarray(
+            nerf_module.apply_offset_net(
+                spec.offset, params["offset_nets"][i], pts_t4, scale=0.5
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5, err_msg=str(i))
