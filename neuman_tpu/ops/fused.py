@@ -85,8 +85,9 @@ def pe_rows_bwd(spec: EmbedderSpec, axes_cn, d_pe, bvals=None, bvals_t=None):
             )
         if bvals_t is None:
             bvals_t = bvals.T
+        d = spec.input_dims  # make_embedder asserts 3 for 'rotate'
         f = bvals.shape[0]
-        base = 3 if spec.include_input else 0
+        base = d if spec.include_input else 0
         proj = jnp.dot(bvals, axes_cn, preferred_element_type=jnp.float32)
         d_proj = (
             jnp.cos(proj) * d_pe[base : base + f]
@@ -94,7 +95,7 @@ def pe_rows_bwd(spec: EmbedderSpec, axes_cn, d_pe, bvals=None, bvals_t=None):
         )
         d_axes = jnp.dot(bvals_t, d_proj, preferred_element_type=jnp.float32)
         if spec.include_input:
-            d_axes = d_axes + d_pe[:3]
+            d_axes = d_axes + d_pe[:d]
         return d_axes
     raise ValueError(spec.mapping)
 

@@ -280,6 +280,19 @@ def _closest_over_faces(points, verts, face_subset, valid_mask=None):
     return d2[n, idx], idx, cp[n, idx]
 
 
+def stride_for(samples_per_ray, knn_stride):
+    """Legal group-KNN stride for [R, S]-flattened ray samples.
+
+    Groups of `knn_stride` consecutive flat points must stay within one
+    ray: if S % stride != 0 a group straddles a ray boundary and its
+    midpoint representative can sit far from the group's tail samples,
+    silently degrading KNN recall. Falls back to stride 1 in that case.
+    """
+    if knn_stride > 1 and samples_per_ray % knn_stride == 0:
+        return knn_stride
+    return 1
+
+
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
                               exact_knn=False, knn_stride=1, knn_impl=None):
     """KNN-accelerated closest point with planarized internals.
@@ -295,8 +308,18 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
     group. Sound when consecutive points are spatially adjacent — ray
     samples are ~4 mm apart vs ~2 cm vertex spacing (recall measured in
     tools/bench_mesh_query.py --recall). The Ericson candidate phase still
-    runs exactly per point.
+    runs exactly per point. Callers flattening [R, S, 3] ray samples must
+    keep groups within one ray (samples_per_ray % knn_stride == 0 — see
+    `stride_for`); this function cannot check that itself.
+
+    NON-DIFFERENTIABLE w.r.t. `verts` on every backend (matching igl,
+    whose queries carry no gradient — ref ray_utils.py:69-93): the TPU
+    Ericson kernel's custom VJP drops the d2->verts cotangent, so the
+    XLA path stop-gradients verts to keep backend-independent semantics.
+    Differentiable consumers (the barycentric T-blend) re-derive their
+    verts dependence from the returned closest points / face ids.
     """
+    verts = jax.lax.stop_gradient(verts)
     faces = topology.faces
     n_pts = points.shape[0]
     stride = knn_stride if (knn_stride > 1 and n_pts % knn_stride == 0) else 1

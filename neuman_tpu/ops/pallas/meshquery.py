@@ -242,4 +242,8 @@ def bucketed_knn_pallas(points, verts, k, num_buckets=64, interpret=None):
     knn_idx = jnp.sum(
         jnp.where(onehot, ix[:, None, :], 0), axis=-1, dtype=jnp.int32
     )
-    return knn_idx
+    # A bucket slot made entirely of padding rows (v < B, or heavy vb
+    # rounding on tiny meshes) wins with index am*b+bi >= v; clamp so the
+    # downstream topology.incidence gather stays in-range instead of being
+    # silently JAX-clamped onto an arbitrary vertex's faces.
+    return jnp.minimum(knn_idx, v - 1)

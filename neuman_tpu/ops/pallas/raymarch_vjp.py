@@ -51,13 +51,18 @@ def _pick_bwd_tile(r, s, rays_per_tile, target_tn):
     for rt in valid:
         if rt * s <= target_tn:
             return rt, 0
-    if valid:
-        return valid[-1], 0
+    # No divisor-legal tile fits the lane budget: prefer padding the sample
+    # axis (whose minimum tile is 1*sp lanes) over returning an over-budget
+    # tile that blows the scoped-VMEM limit at Mosaic compile time.
     pad_s = (-s) % 128
     sp = s + pad_s
     for cand in range(min(rays_per_tile, r), 0, -1):
         if r % cand == 0 and cand * sp <= target_tn:
             return cand, pad_s
+    # Nothing fits the budget either way; take whichever minimal tile has
+    # the smaller lane count (both may exceed target_tn, e.g. huge S).
+    if valid and valid[-1] * s <= sp:
+        return valid[-1], 0
     return 1, pad_s
 
 

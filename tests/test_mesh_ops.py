@@ -477,3 +477,17 @@ def test_bucketed_knn_per_bucket_argmin():
                 np.testing.assert_allclose(
                     d2n[n, idx], expect_scores[n, j], rtol=1e-5
                 )
+
+
+def test_bucketed_knn_tiny_mesh_index_clamp():
+    """v < num_buckets leaves whole bucket slots as padding; winner indices
+    must still be < v (clamped), never JAX-clamped downstream onto an
+    arbitrary vertex's incident faces."""
+    from neuman_tpu.ops.pallas.meshquery import bucketed_knn_pallas
+
+    rng = np.random.default_rng(1)
+    verts = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)  # v=5 < B=8
+    pts = jnp.asarray(rng.normal(size=(9, 3)), jnp.float32)
+    got = np.asarray(bucketed_knn_pallas(pts, verts, 4, num_buckets=8,
+                                         interpret=True))
+    assert got.min() >= 0 and got.max() <= 4, got

@@ -176,3 +176,24 @@ def test_offset_net_vjp_grad_parity():
         np.testing.assert_allclose(
             np.asarray(out_p[c]), np.asarray(out_x[c]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_pick_bwd_tile_prefers_padding_over_budget_blowout():
+    """When no divisor-legal tile fits the lane budget, the sample-padding
+    fallback must win over an over-budget tile (the over-budget path fails
+    at Mosaic compile time against the ~16 MB scoped-VMEM limit)."""
+    # s=384: every rt in 1..8 gives rt*384 % 128 == 0 but rt*384 > 512
+    # for rt >= 2; rt=1 gives 384 <= 512 -> legal, no pad.
+    assert raymarch_vjp._pick_bwd_tile(8, 384, 8, 512) == (1, 0)
+    # s=640: smallest legal divisor tile is 1*640 > 512; padded sp=640
+    # doesn't fit either -> falls back to the smaller of the two minima
+    # (both over budget): valid[-1]*s = 640 == sp -> (1, 0).
+    rt, pad = raymarch_vjp._pick_bwd_tile(8, 640, 8, 512)
+    assert (rt * (640 + pad)) == 640
+    # s=200 (not 128-aligned per ray): only padding makes a legal tile;
+    # sp=256, rt=2 fits 512 exactly.
+    assert raymarch_vjp._pick_bwd_tile(8, 200, 8, 512) == (2, 56)
+    # huge S where even one padded ray exceeds the budget: prefer the
+    # smaller lane count, never an arbitrary over-budget divisor tile.
+    rt, pad = raymarch_vjp._pick_bwd_tile(4, 2000, 8, 512)
+    assert rt == 1 and (2000 + pad) % 128 == 0
