@@ -294,17 +294,49 @@ def sample_z(near, far, s):
     return near.reshape(-1, 1) * (1.0 - t) + far.reshape(-1, 1) * t
 
 
+def merge_sorted_pair_bitonic(za, zb):
+    """Sorted merge of two per-ray SORTED lists in log2(P) compare-exchange
+    stages (a single bitonic merge, not a full bitonic sort's log^2 P
+    stages — the lever over lax.sort on the importance-z path).
+
+    za: [..., S1], zb: [..., S2], both nondecreasing along the last axis.
+    [za, +inf pad, reversed(zb)] is bitonic (ascending then descending), so
+    one half-cleaner cascade sorts it; the pad rises to the top and is
+    sliced off. Every stage is a reshape + min/max — no gathers, no sort.
+    """
+    p = za.shape[-1] + zb.shape[-1]
+    pp = 1 << (p - 1).bit_length()
+    parts = [za]
+    if pp != p:
+        parts.append(
+            jnp.full(za.shape[:-1] + (pp - p,), jnp.inf, dtype=za.dtype)
+        )
+    parts.append(zb[..., ::-1])
+    x = jnp.concatenate(parts, axis=-1)
+    s = pp // 2
+    while s >= 1:
+        y = x.reshape(x.shape[:-1] + (pp // (2 * s), 2, s))
+        lo = jnp.minimum(y[..., 0, :], y[..., 1, :])
+        hi = jnp.maximum(y[..., 0, :], y[..., 1, :])
+        x = jnp.concatenate([lo[..., None, :], hi[..., None, :]], axis=-2)
+        x = x.reshape(x.shape[:-3] + (pp,))
+        s //= 2
+    return x[..., :p]
+
+
 def importance_z(z_vals, weights, n, det=True, key=None):
     from neuman_tpu.ops.rays import sample_pdf
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_samples = sample_pdf(z_mid, weights[..., 1:-1], n, det=det, key=key)
     z_samples = jax.lax.stop_gradient(z_samples)
-    # NOTE: lax.sort beats the O(P^2) rank merge here — this path has no
-    # payload channels, so there are no take_along_axis gathers to
-    # eliminate (measured 142 vs 150 ms on the 32k-ray chunk). The rank
-    # merge pays off in sort_merge_planar where 4 payload gathers ride
-    # along (25.7 -> 2.9 ms).
+    if det:
+        # det=True inverse CDF is nondecreasing in the (ascending) u grid,
+        # so both lists are sorted: a single bitonic MERGE (log P stages)
+        # replaces the full lax.sort (the O(P^2) rank merge lost here —
+        # no payload gathers to amortize — but the merge network wins:
+        # ~10 ms of the 142 ms 32k-ray chunk was this sort).
+        return merge_sorted_pair_bitonic(z_vals, z_samples)
     return jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
 
 

@@ -169,3 +169,33 @@ def test_sort_merge_planar_three_way():
             np.take_along_axis(
                 np.concatenate([rr[c] for rr in rgbs], -1), order, -1),
             rtol=1e-6)
+
+
+def test_merge_sorted_pair_bitonic():
+    """The log-P bitonic merge equals a full sort of the concatenation,
+    including duplicates and non-power-of-2 totals."""
+    rng = np.random.default_rng(3)
+    for s1, s2 in [(256, 128), (7, 5), (128, 128), (1, 9), (16, 1)]:
+        a = np.sort(rng.integers(0, 8, size=(13, s1)).astype(np.float32), -1)
+        b = np.sort(rng.integers(0, 8, size=(13, s2)).astype(np.float32), -1)
+        got = np.asarray(
+            fused.merge_sorted_pair_bitonic(jnp.asarray(a), jnp.asarray(b))
+        )
+        want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        np.testing.assert_array_equal(got, want, err_msg=f"{s1}+{s2}")
+
+
+def test_importance_z_merge_matches_sort():
+    """importance_z's det path (bitonic merge) == sort-of-concat oracle."""
+    rng = np.random.default_rng(4)
+    r, s, i = 9, 32, 16
+    z = np.sort(rng.uniform(1.0, 3.0, size=(r, s)).astype(np.float32), -1)
+    w = rng.uniform(size=(r, s)).astype(np.float32)
+    got = np.asarray(fused.importance_z(jnp.asarray(z), jnp.asarray(w), i))
+    z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    z_samp = np.asarray(
+        ray_ops.sample_pdf(jnp.asarray(z_mid), jnp.asarray(w[..., 1:-1]), i,
+                           det=True)
+    )
+    want = np.sort(np.concatenate([z, z_samp], axis=-1), axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
