@@ -81,11 +81,8 @@ def tiny_human_config(n_devices):
     return cfg
 
 
-def dryrun_human_train_step(n_devices):
-    """One sharded human-NeRF train step over an n-device `data` mesh."""
-    mesh = make_mesh(n_devices)
-    cfg = tiny_human_config(n_devices)
-    num_views = 4
+def human_training_setup(cfg, num_views=4):
+    """Shared tiny human-stage setup: (spec, params, arrays, ctx, optimizer)."""
     body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=24)
     arrays = synthetic_arrays(num_views=num_views, num_verts=body.num_verts)
     spec = hn.build_human_nerf_spec(cfg)
@@ -114,17 +111,70 @@ def dryrun_human_train_step(n_devices):
         "knn_k": 4,
         "knn_stride": getattr(cfg, "knn_stride", 1),
     }
-    optimizer = make_optimizer()
+    return spec, params, arrays, ctx, make_optimizer()
+
+
+def _run_human_steps(spec, cfg, params, arrays, ctx, optimizer, mesh, steps):
+    """`steps` human train steps from a fresh copy of `params`; returns
+    (per-step losses, final state). The step donates its input state, so
+    buffers are copied first."""
+    p = jax.tree_util.tree_map(jnp.array, params)
     state = {
-        "params": put_replicated(params, mesh),
-        "opt_state": optimizer.init(params),
+        "params": put_replicated(p, mesh) if mesh is not None else p,
+        "opt_state": optimizer.init(p),
         "iteration": jnp.int32(0),
         "rng": jax.random.PRNGKey(0),
     }
     step = make_human_train_step(
-        spec, cfg, arrays, list(range(num_views)), optimizer, ctx, mesh=mesh
+        spec, cfg, arrays, list(range(len(ctx["scene_ids"]))), optimizer, ctx,
+        mesh=mesh,
     )
-    state, metrics = step(state)
-    total = float(metrics["total_loss"])
+    losses = []
+    for _ in range(steps):
+        state, metrics = step(state)
+        losses.append(float(metrics["total_loss"]))
+    return losses, state
+
+
+def dryrun_human_train_step(n_devices):
+    """One sharded human-NeRF train step over an n-device `data` mesh."""
+    mesh = make_mesh(n_devices)
+    cfg = tiny_human_config(n_devices)
+    spec, params, arrays, ctx, optimizer = human_training_setup(cfg)
+    losses, _ = _run_human_steps(
+        spec, cfg, params, arrays, ctx, optimizer, mesh, steps=1
+    )
+    total = losses[0]
     assert np.isfinite(total), f"non-finite loss in dryrun: {total}"
-    return metrics
+    return {"total_loss": jnp.float32(total)}
+
+
+def dryrun_human_equality(n_devices, steps=3):
+    """N-step sharded-vs-unsharded equality on the FULL human train step
+    (per-batch scalar cap_id, patch/strata logic, mesh queries, Adam):
+    sharding the ray axis across the mesh must not change the math.
+
+    Returns a dict of comparison values; raises AssertionError on mismatch.
+    """
+    mesh = make_mesh(n_devices)
+    cfg = tiny_human_config(n_devices)
+    spec, params, arrays, ctx, optimizer = human_training_setup(cfg)
+    loss_1, state_1 = _run_human_steps(
+        spec, cfg, params, arrays, ctx, optimizer, None, steps
+    )
+    loss_n, state_n = _run_human_steps(
+        spec, cfg, params, arrays, ctx, optimizer, mesh, steps
+    )
+    np.testing.assert_allclose(loss_n, loss_1, rtol=1e-4)
+    leaves_1 = jax.tree_util.tree_leaves(state_1["params"])
+    leaves_n = jax.tree_util.tree_leaves(state_n["params"])
+    max_dp = 0.0
+    for a, b in zip(leaves_1, leaves_n):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+        max_dp = max(max_dp, float(np.max(np.abs(np.asarray(b) - np.asarray(a)))))
+    return {
+        "steps": steps,
+        "loss_unsharded": loss_1,
+        "loss_sharded": loss_n,
+        "max_param_abs_diff": max_dp,
+    }

@@ -99,6 +99,19 @@ def test_bkg_train_step_sharded_matches_unsharded():
     np.testing.assert_allclose(w_s, w_m, atol=1e-5)
 
 
+def test_human_train_step_sharded_matches_unsharded():
+    """The flagship human step — per-batch scalar cap_id, strata/patch
+    logic, mesh queries, Adam — must be invariant to sharding the ray axis
+    over the 8-device mesh, over multiple steps (losses AND all params)."""
+    from neuman_tpu.parallel.dryrun import dryrun_human_equality
+
+    eq = dryrun_human_equality(8, steps=2)
+    assert eq["max_param_abs_diff"] <= 1e-5
+    np.testing.assert_allclose(
+        eq["loss_sharded"], eq["loss_unsharded"], rtol=1e-4
+    )
+
+
 def test_mesh_sharded_render_matches_single_device():
     """Full-image render sharded over the 8-device mesh == unsharded."""
     import numpy as np
