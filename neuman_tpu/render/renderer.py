@@ -198,9 +198,14 @@ def render_vanilla(
 def _human_branch_planar(
     spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
     samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
-    use_pallas=False,
+    use_pallas=False, knn_stride=1,
 ):
     """Geometry-guided human samples -> (warp) -> canonical MLP, planar.
+
+    knn_stride > 1 amortizes the warp's vertex-KNN phase over groups of
+    consecutive ray samples — inference samples are as spatially coherent
+    as training ones (98.8% exact-face recall at stride 4, ops/mesh.py);
+    guarded against ray-boundary straddle via stride_for.
 
     Returns (hit [R], z [R, S], sigma [R, S], rgb_c 3x[R, S]).
     """
@@ -244,7 +249,8 @@ def _human_branch_planar(
     else:
         flat = jnp.stack([p.reshape(-1) for p in planes], axis=-1)
         _, f_id, closest_cols = mesh_ops.point_mesh_closest_planar(
-            flat, posed_verts, topology, k=knn_k
+            flat, posed_verts, topology, k=knn_k,
+            knn_stride=mesh_ops.stride_for(samples_per_ray, knn_stride),
         )
         aff = mesh_ops._blend_inverse_affine(
             closest_cols, f_id, posed_verts, Ts, topology
@@ -308,13 +314,13 @@ def _smpl_chunk(
     jax.jit,
     static_argnames=(
         "spec", "samples_per_ray", "white_bkg", "render_can", "knn_k",
-        "compute_dtype_name", "use_pallas",
+        "compute_dtype_name", "use_pallas", "knn_stride",
     ),
 )
 def _smpl_chunk_planar(
     spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
     interval_comp, samples_per_ray, white_bkg, render_can, knn_k,
-    compute_dtype_name="bfloat16", use_pallas=False,
+    compute_dtype_name="bfloat16", use_pallas=False, knn_stride=1,
 ):
     from neuman_tpu.ops import fused
 
@@ -324,7 +330,7 @@ def _smpl_chunk_planar(
     hit, z, sg, rgb_c = _human_branch_planar(
         spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
         samples_per_ray, render_can, knn_k, interval_comp, compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, knn_stride=knn_stride,
     )
     dir_norm = jnp.linalg.norm(dirs, axis=-1)
     rgb, _, acc, _, depth = fused.integrate_planar(
@@ -342,7 +348,7 @@ def render_smpl_nerf(
     samples_per_ray=64, white_bkg=True, render_can=False,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
     interval_comp=1.0, knn_k=8, planar=True, compute_dtype_name="bfloat16",
-    mesh=None, use_pallas=False,
+    mesh=None, use_pallas=False, knn_stride=1,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -361,6 +367,7 @@ def render_smpl_nerf(
             samples_per_ray=samples_per_ray, white_bkg=white_bkg,
             render_can=render_can, knn_k=knn_k,
             compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
         )
     else:
         fn = lambda o, d: _smpl_chunk(
@@ -453,13 +460,13 @@ def _hybrid_chunk(
     jax.jit,
     static_argnames=(
         "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
-        "knn_k", "compute_dtype_name", "use_pallas",
+        "knn_k", "compute_dtype_name", "use_pallas", "knn_stride",
     ),
 )
 def _hybrid_chunk_planar(
     spec, params, topology, origins, dirs, bkg_near, bkg_far, posed_verts, Ts,
     geo_threshold, samples_per_ray, importance_samples_per_ray, white_bkg,
-    knn_k, compute_dtype_name="bfloat16", use_pallas=False,
+    knn_k, compute_dtype_name="bfloat16", use_pallas=False, knn_stride=1,
 ):
     from neuman_tpu.ops import fused
 
@@ -494,7 +501,7 @@ def _hybrid_chunk_planar(
     hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
         spec, params, topology, origins, dirs, posed_verts, Ts, geo_threshold,
         samples_per_ray, False, knn_k, 1.0, compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, knn_stride=knn_stride,
     )
     dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * bkg_far[..., :1] * 2.0
     h_z = jnp.where(hit[:, None], h_z, dummy_z)
@@ -524,6 +531,7 @@ def render_hybrid_nerf(
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_acc=False,
     knn_k=8,
     planar=True, compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
+    knn_stride=1,
 ):
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
@@ -542,6 +550,7 @@ def render_hybrid_nerf(
             importance_samples_per_ray=importance_samples_per_ray,
             white_bkg=white_bkg, knn_k=knn_k,
             compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
         )
     else:
         fn = lambda o, d: _hybrid_chunk(
@@ -574,7 +583,7 @@ def render_hybrid_nerf_multi_persons(
     faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
     importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
-    compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
+    compute_dtype_name="bfloat16", mesh=None, use_pallas=False, knn_stride=1,
 ):
     from neuman_tpu.ops import fused
 
@@ -641,6 +650,7 @@ def render_hybrid_nerf_multi_persons(
                 spec_h, params_h, topo_h, origins, dirs, verts_h, ts_h,
                 jnp.float32(geo_threshold), samples_per_ray, False, knn_k,
                 1.0, compute_dtype, use_pallas=use_pallas,
+                knn_stride=knn_stride,
             )
             dummy_z = (
                 jnp.linspace(2.0, 3.0, samples_per_ray)[None] * bkg_far[..., :1]

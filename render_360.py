@@ -78,6 +78,7 @@ def main_canonical_360(opt):
             interval_comp=geo_threshold / can_bone,
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
+            knn_stride=getattr(opt, "knn_stride", 1),
         )
         save_path = os.path.join(
             "./demo", f"canonical_360/{os.path.basename(opt.scene_dir)}",
@@ -123,6 +124,7 @@ def main_posed_360(opt):
             samples_per_ray=opt.samples_per_ray, white_bkg=opt.white_bkg,
             render_can=False, geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
+            knn_stride=getattr(opt, "knn_stride", 1),
         )
         save_path = os.path.join(
             "./demo", f"posed_360/{os.path.basename(opt.scene_dir)}",

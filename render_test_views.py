@@ -44,6 +44,7 @@ def main(opt):
             importance_samples_per_ray=opt.importance_samples_per_ray,
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
+            knn_stride=getattr(opt, "knn_stride", 1),
         )
         save_path = os.path.join(
             "./demo", f"test_views/{os.path.basename(opt.scene_dir)}",
