@@ -118,6 +118,48 @@ def _masked_mean(values, mask):
     return (values * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def clustered_box_points(key, r, s, group=1, half=1.5, jitter=0.005):
+    """Uniform dummy samples in the [-half, half]^3 box (the shape-reg
+    sampling domain, ref human_nerf_trainer.py:370-377), generated in
+    spatially coherent groups of `group` consecutive points so the
+    group-KNN stride (ops/mesh.stride_for) legitimately applies to the
+    signed-distance query on RANDOM points — the largest single term of
+    the train step (~19 ms of 108, BASELINE.md decomposition).
+
+    Each group shares a uniform anchor; members add independent uniform
+    jitter in [-jitter, jitter]^3 and REFLECT at the box walls, so the
+    MARGINAL of every point stays exactly uniform over the box (folding a
+    uniform density at a mirror keeps it uniform) — the regularization
+    integral is unchanged; only within-group correlation is introduced
+    (negligible variance at ~200k fresh points per step). Reflection is
+    non-expansive, so unlike a torus wrap it never teleports a member
+    across the box: every member stays within 2*jitter*sqrt(3) ~ 1.7 cm of
+    its group representative, about one body-proxy vertex spacing — the
+    regime where stride-4 KNN recall was measured at 98.8%
+    (tools/bench_mesh_query.py --recall).
+    group=1 (or s % group != 0) reduces to plain uniform sampling.
+    """
+    if group <= 1 or s % group:
+        return (jax.random.uniform(key, (r, s, 3)) - 0.5) * (2.0 * half)
+    ka, kj = jax.random.split(key)
+    a = (jax.random.uniform(ka, (r, s // group, 1, 3)) - 0.5) * (2.0 * half)
+    j = (jax.random.uniform(kj, (r, s // group, group, 3)) - 0.5) * (
+        2.0 * jitter
+    )
+    # fold into [0, 2*half] (one mirror per wall suffices: |jitter| << half)
+    t = jnp.abs(a + j + half)
+    t = 2.0 * half - jnp.abs(2.0 * half - t)
+    return (t - half).reshape(r, s, 3)
+
+
+def _dummy_group(opt, ctx):
+    """Cluster size for the dummy shape-reg points == the legal group-KNN
+    stride, so the clustered generator and the strided query agree. Both
+    loss formulations (planar + reference-shaped oracle) derive it the
+    same way, keeping their dummy points bit-identical for parity tests."""
+    return mesh_ops.stride_for(opt.samples_per_ray, ctx.get("knn_stride", 1))
+
+
 def make_human_loss_fn_reference(spec, opt, ctx):
     """Reference-shaped formulation ([R, S, 3] tensors); kept as the parity
     oracle for the planarized `make_human_loss_fn` below.
@@ -222,7 +264,10 @@ def make_human_loss_fn_reference(spec, opt, ctx):
         occ = 1.0 - jnp.exp(-jax.nn.relu(pred.reshape(-1, 4)[:, 3]))
         reg = _masked_mean((occ - 1.0) ** 2, inside) * w_alpha
 
-        dummy_pts = (jax.random.uniform(key, can_pts.shape) - 0.5) * 3.0
+        r_, s_ = can_pts.shape[:2]
+        dummy_pts = clustered_box_points(
+            key, r_, s_, group=_dummy_group(opt, ctx)
+        )
         dummy_out = hn.apply_coarse_human(spec, params, dummy_pts, can_dirs)
         sd_d, _, _ = mesh_ops.signed_distance(
             dummy_pts.reshape(-1, 3), can_verts, topo, k=knn_k
@@ -383,8 +428,13 @@ def make_human_loss_fn(spec, opt, ctx):
     knn_k = ctx["knn_k"]
     # group-KNN stride: ray samples are spatially consecutive, so the
     # vertex-KNN phase is amortized across groups (see ops/mesh.py); the
-    # dummy-point query below keeps stride 1 (random points, not coherent)
-    knn_stride = ctx.get("knn_stride", 1)
+    # dummy shape-reg points are GENERATED clustered (uniform marginal,
+    # clustered_box_points) so the same stride applies to them.
+    # Guarded so groups never straddle ray boundaries (flattened [R, S]
+    # points: requires S % stride == 0, else silently degraded recall).
+    knn_stride = mesh_ops.stride_for(
+        opt.samples_per_ray, ctx.get("knn_stride", 1)
+    )
     cd = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
 
     # rematerialized (checkpointed) hot ops: the mesh-query gather rows and
@@ -555,7 +605,9 @@ def make_human_loss_fn(spec, opt, ctx):
         )
 
     def shape_dummy_planes(key, r, s):
-        dummy = (jax.random.uniform(key, (r, s, 3)) - 0.5) * 3.0
+        # clustered so the group-KNN stride applies to this random-point
+        # query too (uniform marginal preserved — see clustered_box_points)
+        dummy = clustered_box_points(key, r, s, group=_dummy_group(opt, ctx))
         return [dummy[..., a] for a in range(3)]
 
     def shape_reg(batch, can_planes, sg, d_planes, d_sg, w_alpha, w_dummy):
@@ -572,7 +624,7 @@ def make_human_loss_fn(spec, opt, ctx):
 
         dummy_flat = jnp.stack([p.reshape(-1) for p in d_planes], axis=-1)
         sd_d, _, _ = mesh_ops.signed_distance(
-            dummy_flat, can_verts, topo, k=knn_k
+            dummy_flat, can_verts, topo, k=knn_k, knn_stride=knn_stride
         )
         sd_d = jax.lax.stop_gradient(sd_d)
         d_inside = (sd_d < 0).astype(jnp.float32)

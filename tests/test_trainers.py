@@ -324,6 +324,116 @@ def test_human_loss_planar_matches_reference(use_pallas):
     )
 
 
+def test_clustered_box_points():
+    """Clustered dummy sampling: exact box support, near-uniform marginal
+    (moment check), groups coherent enough for the KNN stride, and
+    group=1 equals the plain uniform formulation bit-for-bit."""
+    from neuman_tpu.trainers.human import clustered_box_points
+
+    key = jax.random.PRNGKey(3)
+    p = np.asarray(clustered_box_points(key, 512, 128, group=4))
+    assert p.shape == (512, 128, 3)
+    assert p.min() >= -1.5 and p.max() <= 1.5
+    # marginal moments of U(-1.5, 1.5): mean 0, std 3/sqrt(12)
+    assert abs(p.mean()) < 5e-3
+    assert abs(p.std() - 3.0 / np.sqrt(12.0)) < 5e-3
+    # per-axis histogram flatness: 65,536 points/axis but only ~16k
+    # independent anchors (members correlate within a group), so per-bin
+    # relative std is ~2.5%; 5 sigma tolerance
+    for a in range(3):
+        h, _ = np.histogram(p[..., a], bins=10, range=(-1.5, 1.5))
+        assert (abs(h / h.mean() - 1.0) < 0.125).all(), h
+    # group coherence: reflection is non-expansive, so EVERY member is
+    # within 2*jitter*sqrt(3) of the midpoint representative — no wraps
+    g = p.reshape(512, 128 // 4, 4, 3)
+    d = np.linalg.norm(g - g[:, :, 2:3], axis=-1)
+    assert d.max() < 2 * 0.005 * np.sqrt(3) + 1e-6, d.max()
+    # group=1 falls back to plain uniform
+    u = np.asarray(clustered_box_points(key, 8, 16, group=1))
+    want = np.asarray((jax.random.uniform(key, (8, 16, 3)) - 0.5) * 3.0)
+    np.testing.assert_array_equal(u, want)
+
+
+def test_human_loss_lpips_branch_parity():
+    """The LPIPS perceptual patch loss (the reference-default objective,
+    human_nerf_trainer.py:432-435) with random-init AlexNet params: planar
+    and reference-shaped formulations agree, the term is non-zero, and it
+    carries gradient into the canonical net."""
+    from neuman_tpu.parallel.dryrun import synthetic_arrays, tiny_human_config
+    from neuman_tpu.models import lpips as lpips_module
+    from neuman_tpu.models import smpl as smpl_module
+    from neuman_tpu.ops import mesh as mesh_ops
+    from neuman_tpu.datasets import sampler as ds_sampler
+    from neuman_tpu.trainers.human import (
+        compute_anneals,
+        make_human_loss_fn,
+        make_human_loss_fn_reference,
+    )
+
+    cfg = tiny_human_config(1)
+    cfg.compute_dtype = "float32"
+    cfg.use_pallas = False
+    cfg.penalize_lpips = 0.01
+    cfg.rays_per_batch = 1088  # 32x32 patch + 64 strata rays
+    num_views = 4
+    body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=24)
+    arrays = synthetic_arrays(num_views=num_views, num_verts=body.num_verts)
+    spec = hn.build_human_nerf_spec(cfg)
+    rng = np.random.default_rng(0)
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec,
+        poses=rng.normal(size=(num_views, 72)).astype(np.float32) * 0.1,
+        betas=rng.normal(size=(num_views, 10)).astype(np.float32) * 0.1,
+        alignments=np.tile(np.eye(4, dtype=np.float32)[None], (num_views, 1, 1)),
+    )
+    topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
+    ctx = {
+        "body_model": body,
+        "da_smpl": hn.da_pose_params(24),
+        "scale": 1.0,
+        "topo": topo,
+        "can_verts": arrays.verts,
+        "can_k": arrays.intrinsics[:2],
+        "can_c2w": arrays.c2w[:2],
+        "can_hw": (36, 48),
+        "interval_comp": 1.0,
+        "lpips_params": lpips_module.init_lpips_params(jax.random.PRNGKey(9)),
+        "scene_ids": jnp.arange(num_views, dtype=jnp.int32),
+        "grad_masks": jnp.ones((num_views, 72)),
+        "knn_k": 4,
+    }
+    key = jax.random.PRNGKey(7)
+    batch = ds_sampler.sample_human_batch(
+        key, arrays, jnp.arange(num_views, dtype=jnp.int32), cfg.geo_threshold,
+        cfg.rays_per_batch, ratios=(0.95, 0.0, 0.05), use_patch=True, dilation=0,
+    )
+    keys = {
+        n: k
+        for n, k in zip(
+            ("perturb", "offset", "color", "dummy", "can_cam", "can_pix",
+             "can_perturb"),
+            jax.random.split(key, 7),
+        )
+    }
+    anneals = compute_anneals(cfg, jnp.int32(10))
+
+    ref_fn = make_human_loss_fn_reference(spec, cfg, ctx)
+    new_fn = make_human_loss_fn(spec, cfg, ctx)
+    _, aux_ref = ref_fn(params, batch, keys, anneals)
+    _, aux_new = new_fn(params, batch, keys, anneals)
+    l_ref = float(aux_ref["losses"]["lpips_loss"])
+    l_new = float(aux_new["losses"]["lpips_loss"])
+    assert np.isfinite(l_new) and l_new != 0.0
+    assert np.isclose(l_new, l_ref, rtol=1e-3, atol=1e-6), (l_new, l_ref)
+
+    # the term must move the canonical net: gradient of the lpips loss alone
+    g = jax.grad(
+        lambda p: new_fn(p, batch, keys, anneals)[1]["losses"]["lpips_loss"]
+    )(params)
+    gw = np.asarray(g["coarse_human_net"]["pts_linears"][0]["w"])
+    assert np.isfinite(gw).all() and np.abs(gw).max() > 0.0
+
+
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_bkg_loss_planar_matches_reference(use_pallas):
     """Planarized bkg loss equals the apply_joiner/raw2outputs formulation
