@@ -25,6 +25,8 @@ static shapes:
   samples into canonical space (ray_utils.py:48-93).
 """
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -293,8 +295,32 @@ def stride_for(samples_per_ray, knn_stride):
     return 1
 
 
+class QueryTables(NamedTuple):
+    """Precomputed per-mesh tables for the closest-point / signed-distance
+    queries. For a mesh whose verts are CONSTANT across queries (the
+    canonical Da-pose body: 2 of the train step's 3 queries), building
+    these once at setup instead of per query saves the angle-weighted
+    normal accumulation (~2.6 ms/query at V=10k) and the packed-corner
+    joins. Build with `build_query_tables`."""
+
+    vtab9: jnp.ndarray  # [V, inc_width*9] coordinate rows of incident faces
+    vn_pack: jnp.ndarray  # [F, 16] packed per-corner pseudonormals
+
+
+def build_query_tables(verts, topology: "MeshTopology"):
+    """Precompute QueryTables for constant-vertex meshes (see QueryTables)."""
+    inc_width = topology.incidence.shape[1]
+    vtab9 = _packed_face_table(verts, topology.faces)[
+        jnp.maximum(topology.incidence, 0)
+    ].reshape(verts.shape[0], inc_width * 9)
+    vn = angle_weighted_vertex_normals(verts, topology.faces)
+    vn_pack = _packed_face_table(vn, topology.faces, pad_to=16)
+    return QueryTables(vtab9=vtab9, vn_pack=vn_pack)
+
+
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
-                              exact_knn=False, knn_stride=1, knn_impl=None):
+                              exact_knn=False, knn_stride=1, knn_impl=None,
+                              tables: QueryTables = None):
     """KNN-accelerated closest point with planarized internals.
 
     points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
@@ -363,16 +389,12 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
     valid = cand >= 0
     cand_safe = jnp.maximum(cand, 0)
 
-    tri = _packed_face_table(verts, faces, pad_to=16)
     # Gathers pay per INDEX: fetching the C = k*I candidate faces as [N, C]
     # row gathers costs N*C indices (measured 43 ms of a 53 ms query at
     # C=64). Instead pre-join each VERTEX's incident faces into one
     # [V, I*16] row (V*I indices, negligible) and fetch k rows per point —
     # N*k indices, a 16x reduction for identical candidates.
     inc_width = topology.incidence.shape[1]
-    vtab = tri[jnp.maximum(topology.incidence, 0)].reshape(
-        verts.shape[0], inc_width * 16
-    )
     if jax.default_backend() == "tpu":
         # Pallas candidate phase: XLA re-fuses the gather+transpose into
         # every elementwise consumer of the Ericson test and recomputes it
@@ -382,13 +404,30 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         from neuman_tpu.ops.pallas.meshquery import ericson_select_pallas
 
         # the big packed-row gather pays per index: fetch at the strided
-        # group size and broadcast lanes afterwards (cheap copy vs gather)
-        rows2d = vtab[knn_idx_s].reshape(n_pts // stride, -1).T  # [C*16, Nq]
+        # group size and broadcast lanes afterwards (cheap copy vs gather).
+        # Layout is COORDINATE-MAJOR ([9*C, N], one [C, N] sublane block
+        # per corner coordinate) so the kernel's region test runs at full
+        # sublane occupancy — see meshquery._kernel.
+        vtab9 = (
+            tables.vtab9
+            if tables is not None
+            else _packed_face_table(verts, faces)[
+                jnp.maximum(topology.incidence, 0)
+            ].reshape(verts.shape[0], inc_width * 9)
+        )
+        nq = n_pts // stride
+        c_cands = k * inc_width
+        g9 = vtab9[knn_idx_s].reshape(nq, c_cands, 9)
+        rows9 = g9.transpose(2, 1, 0).reshape(9 * c_cands, nq)
         if stride > 1:
-            rows2d = jnp.repeat(rows2d, stride, axis=1)  # [C*16, N]
+            rows9 = jnp.repeat(rows9, stride, axis=1)  # [9*C, N]
         p3 = points.T  # [3, N]
-        d2, f_id, closest = ericson_select_pallas(p3, rows2d, cand.T)
+        d2, f_id, closest = ericson_select_pallas(p3, rows9, cand.T)
         return d2, f_id, closest
+    tri = _packed_face_table(verts, faces, pad_to=16)
+    vtab = tri[jnp.maximum(topology.incidence, 0)].reshape(
+        verts.shape[0], inc_width * 16
+    )
     rows = vtab[knn_idx].reshape(n_pts, k * inc_width, 16)  # [N, C, 16]
     # Feature-major candidate phase (CPU/tests): the Ericson region test
     # runs on [C, N] columns (lane axis = N, the big one) instead of
@@ -495,17 +534,23 @@ def _corners_at(verts, topology, f_id):
 
 
 def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
-                            knn_stride=1):
+                            knn_stride=1, tables: QueryTables = None):
     """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
     faces = topology.faces
     d2, f_id, closest = point_mesh_closest_planar(
-        points, verts, topology, k=k, knn_stride=knn_stride
+        points, verts, topology, k=k, knn_stride=knn_stride, tables=tables
     )
-    vn = angle_weighted_vertex_normals(verts, faces)
     c0, c1, c2 = _corners_at(verts, topology, f_id)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
     # pseudonormal at the closest point: bary-weighted vertex pseudonormals
-    vrows = _packed_face_table(vn, faces, pad_to=16)[f_id]  # [N, 16]
+    vn_pack = (
+        tables.vn_pack
+        if tables is not None
+        else _packed_face_table(
+            angle_weighted_vertex_normals(verts, faces), faces, pad_to=16
+        )
+    )
+    vrows = vn_pack[f_id]  # [N, 16]
     normal = tuple(
         u * vrows[:, a] + v * vrows[:, 3 + a] + w * vrows[:, 6 + a]
         for a in range(3)
@@ -517,15 +562,16 @@ def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
 
 
 def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
-                    knn_stride=1):
+                    knn_stride=1, tables: QueryTables = None):
     """Signed distance to a watertight mesh (negative inside).
 
     Same contract as igl.signed_distance (human_nerf_trainer.py:310-314):
-    returns (signed_dist [N], f_id [N], closest [N, 3]).
+    returns (signed_dist [N], f_id [N], closest [N, 3]). `tables`:
+    precomputed QueryTables when `verts` are constant across queries.
     """
     if method == "knn":
         sd, f_id, closest = _signed_distance_planar(
-            points, verts, topology, k=k, knn_stride=knn_stride
+            points, verts, topology, k=k, knn_stride=knn_stride, tables=tables
         )
         return sd, f_id, jnp.stack(closest, axis=-1)
     d2, f_id, closest = point_mesh_closest(points, verts, topology, k=k, method=method)

@@ -32,46 +32,63 @@ _LANE_TILE = 2048
 
 
 def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands):
-    rows = rows_ref[:]  # [C*16, TN]
-    cand = cand_ref[:]  # [C, TN] int32, -1 invalid
-    p = (p_ref[0:1, :], p_ref[1:2, :], p_ref[2:3, :])  # [1, TN] each
+    """Coordinate-major candidate phase: every op runs on [C, TN] blocks.
 
-    best_d2 = jnp.full(p[0].shape, jnp.inf, jnp.float32)
-    best_f = jnp.zeros(p[0].shape, jnp.int32)
-    best_cp = (jnp.zeros_like(best_d2),) * 3
-    for ci in range(num_cands):
-        base = ci * 16
-        a = (rows[base + 0 : base + 1], rows[base + 1 : base + 2],
-             rows[base + 2 : base + 3])
-        b = (rows[base + 3 : base + 4], rows[base + 4 : base + 5],
-             rows[base + 5 : base + 6])
-        c = (rows[base + 6 : base + 7], rows[base + 7 : base + 8],
-             rows[base + 8 : base + 9])
-        cp = closest_point_on_triangles_planar(p, a, b, c)
-        fid = cand[ci : ci + 1]
-        d2 = sum((cp[i] - p[i]) ** 2 for i in range(3))
-        d2 = jnp.where(fid >= 0, d2, jnp.inf)
-        take = d2 < best_d2  # strict: ties keep the earliest (== argmin)
-        best_d2 = jnp.where(take, d2, best_d2)
-        best_f = jnp.where(take, fid, best_f)
-        best_cp = tuple(jnp.where(take, cp[i], best_cp[i]) for i in range(3))
+    The first version looped over candidates with [1, TN] row slices — one
+    of eight sublanes live, so the whole Ericson region test paid an 8x
+    VPU-utilization tax (measured 4.8 ms/query at N=196k, C=24; this
+    layout: ~8x less VPU work). rows_ref is [9*C, TN] with row j*C + ci =
+    coordinate j of candidate ci, so each coordinate plane rows[j*C:(j+1)*C]
+    is one aligned [C, TN] sublane block (C padded to 8 host-side)."""
+    c_ = num_cands
+    rows = rows_ref[:]  # [9*C, TN]
+    coord = lambda j: rows[j * c_ : (j + 1) * c_]  # [C, TN]
+    a = (coord(0), coord(1), coord(2))
+    b = (coord(3), coord(4), coord(5))
+    c = (coord(6), coord(7), coord(8))
+    p = (p_ref[0:1, :], p_ref[1:2, :], p_ref[2:3, :])  # [1, TN] broadcasts
+
+    cp = closest_point_on_triangles_planar(p, a, b, c)  # [C, TN] each
+    fid = cand_ref[:]  # [C, TN] int32, -1 invalid
+    d2 = sum((cp[i] - p[i]) ** 2 for i in range(3))
+    d2 = jnp.where(fid >= 0, d2, jnp.inf)
+
+    best_d2 = jnp.min(d2, axis=0, keepdims=True)  # [1, TN]
+    # earliest-candidate tie-break (== the sequential argmin): among rows
+    # attaining the min, pick the smallest candidate index
+    ci = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+    pri = jnp.where(d2 == best_d2, ci, num_cands)
+    sel = jnp.min(pri, axis=0, keepdims=True)
+    m = pri == sel  # exactly one true row per lane (ci are distinct)
 
     outf_ref[0:1, :] = best_d2
-    outf_ref[1:2, :] = best_cp[0]
-    outf_ref[2:3, :] = best_cp[1]
-    outf_ref[3:4, :] = best_cp[2]
-    outi_ref[:] = best_f
+    for i in range(3):
+        outf_ref[1 + i : 2 + i, :] = jnp.sum(
+            jnp.where(m, cp[i], 0.0), axis=0, keepdims=True
+        )
+    outi_ref[:] = jnp.sum(
+        jnp.where(m, jnp.maximum(fid, 0), 0), axis=0, keepdims=True
+    )
 
 
-def _ericson_select_impl(p3, rows2d, cand, interpret):
+def _ericson_select_impl(p3, rows9, cand, interpret):
     n = p3.shape[1]
     num_cands = cand.shape[0]
-    assert rows2d.shape[0] == num_cands * 16, (rows2d.shape, num_cands)
+    assert rows9.shape[0] == num_cands * 9, (rows9.shape, num_cands)
+    # pad the candidate axis to 8 sublanes so every [C, TN] coordinate
+    # plane the kernel slices is sublane-aligned
+    c_pad = (-num_cands) % 8
+    if c_pad:
+        rows9 = jnp.pad(
+            rows9.reshape(9, num_cands, n), ((0, 0), (0, c_pad), (0, 0))
+        ).reshape(9 * (num_cands + c_pad), n)
+        cand = jnp.pad(cand, ((0, c_pad), (0, 0)), constant_values=-1)
+        num_cands += c_pad
     tn = min(_LANE_TILE, n)
     pad = (-n) % tn
     if pad:
         p3 = jnp.pad(p3, ((0, 0), (0, pad)), mode="edge")
-        rows2d = jnp.pad(rows2d, ((0, 0), (0, pad)), mode="edge")
+        rows9 = jnp.pad(rows9, ((0, 0), (0, pad)), mode="edge")
         cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
     # padded lanes: edge-pad keeps >=1 valid candidate so no inf/0 garbage
     cand = jnp.where(
@@ -86,7 +103,7 @@ def _ericson_select_impl(p3, rows2d, cand, interpret):
         in_specs=[
             pl.BlockSpec((3, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_cands * 16, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+                (num_cands * 9, tn), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (num_cands, tn), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -101,7 +118,7 @@ def _ericson_select_impl(p3, rows2d, cand, interpret):
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(p3, rows2d, cand)
+    )(p3, rows9, cand)
     d2 = outf[0, :n]
     cp = (outf[1, :n], outf[2, :n], outf[3, :n])
     f_id = outi[0, :n]
@@ -109,23 +126,26 @@ def _ericson_select_impl(p3, rows2d, cand, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def ericson_select_pallas(p3, rows2d, cand, interpret=None):
+def ericson_select_pallas(p3, rows9, cand, interpret=None):
     """Closest point over per-point candidate triangles, fused on TPU.
 
-    p3: [3, N] query point coordinate rows; rows2d: [C*16, N] packed
-    candidate corner table (corner0 xyz | corner1 xyz | corner2 xyz | pad,
-    transposed feature-major); cand: [C, N] int32 candidate face ids, -1 =
-    invalid. Returns (d2 [N], f_id [N] int32, closest (x, y, z) of [N]).
+    p3: [3, N] query point coordinate rows; rows9: [9*C, N]
+    COORDINATE-MAJOR packed candidate corners — row j*C + ci holds
+    coordinate j (ax ay az bx by bz cx cy cz) of candidate ci, so each
+    coordinate plane is one contiguous [C, N] sublane block (see
+    mesh_ops.ericson_rows9 for the builder); cand: [C, N] int32 candidate
+    face ids, -1 = invalid. Returns (d2 [N], f_id [N] int32, closest
+    (x, y, z) of [N]).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _ericson_select_impl(p3, rows2d, cand, interpret)
+    return _ericson_select_impl(p3, rows9, cand, interpret)
 
 
-def _fwd(p3, rows2d, cand, interpret):
+def _fwd(p3, rows9, cand, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    out = _ericson_select_impl(p3, rows2d, cand, interpret)
+    out = _ericson_select_impl(p3, rows9, cand, interpret)
     d2, f_id, cp = out
     return out, (p3, cp)
 

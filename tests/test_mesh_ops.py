@@ -334,13 +334,14 @@ def test_pallas_ericson_select_matches_xla_path():
         k,
     )
     cand = topo.incidence[knn_idx].reshape(pts.shape[0], -1)
-    tri = mesh_ops._packed_face_table(verts, topo.faces, pad_to=16)
-    vtab = tri[jnp.maximum(topo.incidence, 0)].reshape(
-        verts.shape[0], inc_width * 16
+    tri9 = mesh_ops._packed_face_table(verts, topo.faces)
+    vtab9 = tri9[jnp.maximum(topo.incidence, 0)].reshape(
+        verts.shape[0], inc_width * 9
     )
-    rows2d = vtab[knn_idx].reshape(pts.shape[0], -1).T
+    n, c = pts.shape[0], k * inc_width
+    rows9 = vtab9[knn_idx].reshape(n, c, 9).transpose(2, 1, 0).reshape(9 * c, n)
     d2_p, f_p, cp_p = ericson_select_pallas(
-        pts.T, rows2d, cand.T, True
+        pts.T, rows9, cand.T, True
     )
 
     np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_ref), atol=1e-6)
@@ -377,16 +378,17 @@ def test_pallas_ericson_select_envelope_gradient():
         k,
     )
     cand = topo.incidence[knn_idx].reshape(pts.shape[0], -1)
-    tri = mesh_ops._packed_face_table(verts, topo.faces, pad_to=16)
-    vtab = tri[jnp.maximum(topo.incidence, 0)].reshape(len(v), inc_width * 16)
-    rows2d = vtab[knn_idx].reshape(pts.shape[0], -1).T
+    tri9 = mesh_ops._packed_face_table(verts, topo.faces)
+    vtab9 = tri9[jnp.maximum(topo.incidence, 0)].reshape(len(v), inc_width * 9)
+    n, c = pts.shape[0], k * inc_width
+    rows9 = vtab9[knn_idx].reshape(n, c, 9).transpose(2, 1, 0).reshape(9 * c, n)
 
     def loss(p3):
-        d2, _, _ = ericson_select_pallas(p3, rows2d, cand.T, True)
+        d2, _, _ = ericson_select_pallas(p3, rows9, cand.T, True)
         return jnp.sum(d2)
 
     g = jax.grad(loss)(pts.T)
-    d2, _, cp = ericson_select_pallas(pts.T, rows2d, cand.T, True)
+    d2, _, cp = ericson_select_pallas(pts.T, rows9, cand.T, True)
     expected = 2.0 * (pts.T - jnp.stack(cp, axis=0))
     np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=1e-6)
 

@@ -110,3 +110,36 @@ if which in ("all", "offset"):
         g = jax.grad(loss)(p0)
         return jax.tree_util.tree_map(lambda a, b: a + b * 1e-9, p0, g)
     scan_time("offset net fwd+bwd", f, params["offset_nets"][0])
+
+if which in ("all", "mlpvjp"):
+    # the batched canonical-net application: 4 concatenated [R, S] apps
+    # through the custom-VJP Pallas pair (the step's largest MLP term)
+    from neuman_tpu.ops.pallas import raymarch_vjp
+    mlp = raymarch_vjp.make_mlp_vjp(spec.human, jnp.bfloat16)
+    for mult in (1, 4):
+        planes = [
+            jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(6), a),
+                              (R * mult, S)) * 0.3
+            for a in range(6)
+        ]
+        def f(p0, planes=planes):
+            def loss(prm):
+                sg, rgb = mlp(prm, planes[0], planes[1], planes[2],
+                              planes[3], planes[4], planes[5])
+                return jnp.sum(sg) + sum(jnp.sum(c) for c in rgb)
+            g = jax.grad(loss)(p0)
+            return jax.tree_util.tree_map(lambda a, b: a + b * 1e-9, p0, g)
+        scan_time(f"canonical MLP fwd+bwd [{R*mult}, {S}]", f,
+                  params["coarse_human_net"])
+
+if which in ("all", "query"):
+    # strided signed-distance query at the training size (3x/step)
+    topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
+    verts = jnp.asarray(body.v_template)
+    base = jax.random.normal(jax.random.PRNGKey(7), (R * S, 3)) * 0.3
+    for stride in (1, 4):
+        def f(pts, stride=stride):
+            sd, f_id, _ = mesh_ops.signed_distance(
+                pts, verts, topo, k=4, knn_stride=stride)
+            return pts + (sd[:, None] * 0.0 + 1e-7)
+        scan_time(f"signed_distance N={R*S} k=4 stride={stride}", f, base)
