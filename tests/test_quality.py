@@ -19,6 +19,19 @@ hide under a slack bar):
   discriminative check that the human branch ADDS correct content, not
   merely that the composite isn't catastrophic).
 
+A second gate trains the PRODUCTION network spec (8x256, 10/4 freq bands —
+the exact reference architecture, options.py:52-68) on the background
+stage with fewer iters, so the real network configuration sits inside the
+quality bar, not only the 4x64 miniature (measured 27.1 dB at 150 iters,
+33.9 dB at 500; floor 22).
+
+Eval-harness gotcha (cost a day of round 3): NeuManReader.read_scene
+defaults bkg_range_scale to 1.1 while training (options/config.py) uses
+3.0 — rendering a trained checkpoint through a scene read with the
+DEFAULT gives a near/far window 3x too narrow and ~8 dB of garbage that
+looks exactly like a broken trainer. Any in-process render of a trained
+model must pass the training range scales.
+
 Recorded as the regression bar in BASELINE.md.
 """
 
@@ -207,3 +220,70 @@ def test_two_stage_quality_gate(renderable_setup):
         f"human branch adds nothing: hybrid {p_hybrid:.2f} vs "
         f"bkg-only {p_bkg_only:.2f} dB on human pixels"
     )
+
+
+PRODUCTION = [
+    # the exact reference network spec (options.py:52-68): 8x256 MLPs,
+    # 10-freq positional / 4-freq directional encodings
+    "--nerf_depth", "8", "--nerf_width", "256", "--pos_N_freqs", "10",
+    "--pos_max_freq", "9", "--dir_N_freqs", "4", "--dir_max_freq", "3",
+    "--samples_per_ray", "16", "--importance_samples_per_ray", "16",
+]
+
+
+def test_production_spec_quality_gate(renderable_setup):
+    """Background stage at the PRODUCTION 8x256/10-freq spec: short train,
+    then the held-out view must beat a PSNR floor. Catches regressions that
+    only manifest at the real network configuration (skip-concat indexing,
+    PE band count, head wiring) which the 4x64 miniature cannot see.
+    Calibrated: 27.1 dB at these settings (33.9 at 500 iters); a broken
+    trainer/renderer lands at 8-12 dB."""
+    import imageio.v2 as imageio
+
+    scene_dir, data_root, workdir = renderable_setup
+
+    run_cli(
+        "train.py",
+        [
+            "--train_mode", "bkg", "--scene_dir", scene_dir, "--name", "qprod",
+            "--out_dir", os.path.join(workdir, "out"),
+            "--rays_per_batch", "1024", "--max_iter", "150",
+            "--valid_iter", "100000", "--dilation", "2",
+        ]
+        + PRODUCTION,
+        data_root, workdir,
+    )
+    ckpt_path = os.path.join(workdir, "out", "qprod", "checkpoint.npz")
+    assert os.path.isfile(ckpt_path)
+
+    from neuman_tpu.data_io import neuman
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.options.config import NeuManConfig, apply_mode_defaults
+    from neuman_tpu.render import renderer
+    from neuman_tpu.trainers import checkpoint as ckpt_mod
+
+    cfg = apply_mode_defaults(NeuManConfig(), "bkg")
+    spec = hn.build_human_nerf_spec(cfg)
+    # range scales MUST match training's (see module docstring): the
+    # read_scene defaults give a 3x-too-narrow near/far window
+    scene = neuman.NeuManReader.read_scene(
+        scene_dir, normalize=True, smpl_type="optimized",
+        bkg_range_scale=cfg.bkg_range_scale,
+        human_range_scale=cfg.human_range_scale,
+    )
+    loaded = ckpt_mod.load_checkpoint(ckpt_path)
+    fname = open(os.path.join(scene_dir, "test_split.txt")).read().split()[0]
+    cap = scene.captures[int(fname.split(".")[0])]
+    rgb, _ = renderer.render_vanilla(
+        spec.bkg, loaded["coarse_model"], cap,
+        fine_params=loaded.get("fine_model"), rays_per_batch=1024,
+        samples_per_ray=16, importance_samples_per_ray=16, return_depth=True,
+        compute_dtype_name="float32",
+    )
+    gt = imageio.imread(os.path.join(scene_dir, "images", fname))
+    seg = imageio.imread(os.path.join(scene_dir, "segmentations", fname))
+    bkg_mask3 = np.repeat((seg == 255)[..., None], 3, axis=-1)
+    pred = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+    p = _psnr(pred, gt, bkg_mask3)
+    print(f"production-spec gate: bkg PSNR {p:.2f} dB")
+    assert p >= 22.0, f"production-spec bkg PSNR {p:.2f} < 22 dB"
