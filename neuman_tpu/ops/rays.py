@@ -117,25 +117,38 @@ def sample_pdf(bins, weights, n_samples, key=None, det=False):
     # take_along_axis gathers (R*Q indices each) dominated the render
     # chunk (~300 ms of a 400 ms chunk at 32k rays — TPU gathers pay per
     # index). cdf and bins are both MONOTONE along the bin axis, so
-    # value-at-searchsorted-index is a masked max/min over the same
-    # [R, Q, B] comparison — pure elementwise+reduce, which XLA fuses; no
-    # integer indexing survives.
+    # value-at-searchsorted-index can be recovered WITHOUT indexing:
+    # each of the four values telescopes as a sum of NON-NEGATIVE
+    # increments gated by the same [R, Q, B] "bin below u" mask —
+    #   cdf_below  = sum_b dcdf_b  * le_b         (-> cdf[K],    K = last le)
+    #   bins_below = bins_0 + sum_b dbins_b * le_b (-> bins[K])
+    #   cdf_above  = sum_b dcdf_{b+1} * le_b       (-> cdf[K+1], clamped)
+    #   bins_above = bins_0 + sum_b dbins_{b+1} * le_b
+    # where the "+1"-shifted increment rows end in 0, which IS the
+    # reference's clamp-to-last for u >= cdf[-1] (ray_utils.py:177-181).
+    # One compare + four FMAs per element, all add-reductions over the
+    # shared mask (a single fused pass / one [Q,B]x[B,4] contraction) —
+    # replaces four select+max/min reductions with +-inf sentinels and
+    # two isfinite fixups. Nonneg-increment sums are numerically stable
+    # (no cancellation; error ~ sqrt(B) ulp of the running total).
+    dcdf = jnp.diff(cdf, axis=-1)  # [R, B-1], >= 0
+    dbins = jnp.diff(bins, axis=-1)  # [R, B-1], >= 0 (bins sorted)
+    zero = jnp.zeros_like(cdf[..., :1])
+    inc = jnp.stack(
+        [
+            jnp.concatenate([cdf[..., :1], dcdf], axis=-1),  # cdf[0] = 0
+            jnp.concatenate([zero, dbins], axis=-1),
+            jnp.concatenate([dcdf, zero], axis=-1),
+            jnp.concatenate([dbins, zero], axis=-1),
+        ],
+        axis=-1,
+    )  # [R, B, 4]
     le = cdf[..., None, :] <= u[..., :, None]  # [R, Q, B] "bin below u"
-    neg, pos = -jnp.inf, jnp.inf
-    cdf_b = cdf[..., None, :]
-    bins_b = bins[..., None, :]
-    # below = last bin with cdf <= u (mask never empty: cdf[0] = 0 <= u)
-    cdf_below = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
-    bins_below = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
-    # above = first bin with cdf > u; empty (u >= cdf[-1]) clamps to last
-    cdf_above = jnp.min(jnp.where(le, pos, cdf_b), axis=-1)
-    bins_above = jnp.min(jnp.where(le, pos, bins_b), axis=-1)
-    cdf_above = jnp.where(
-        jnp.isfinite(cdf_above), cdf_above, cdf[..., -1:]
-    )
-    bins_above = jnp.where(
-        jnp.isfinite(bins_above), bins_above, bins[..., -1:]
-    )
+    vals = jnp.einsum("...qb,...bk->...qk", le.astype(cdf.dtype), inc)
+    cdf_below = vals[..., 0]
+    bins_below = bins[..., :1] + vals[..., 1]
+    cdf_above = vals[..., 2]
+    bins_above = bins[..., :1] + vals[..., 3]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
