@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Clear the axon pool for every CHILD process the suite spawns: with it
+# set, sitecustomize registers the axon PJRT plugin in each subprocess,
+# and when the TPU tunnel is down that registration blocks in jaxlib's
+# 1/s connect-retry loop forever (observed: the converter-CLI test hung
+# the whole suite). The suite is CPU-only by design, so no child needs it.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax  # noqa: E402
 

@@ -607,7 +607,13 @@ def test_hybrid_checkpoint_convert_cli_roundtrip(ref, tmp_path):
             "--kind", "hybrid", "--num_offset_nets", "2",
         ],
         capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # PALLAS_AXON_POOL_IPS must be CLEARED, not just overridden by
+        # JAX_PLATFORMS: sitecustomize registers the axon PJRT plugin
+        # whenever it is set, and with the TPU tunnel down that
+        # registration blocks the subprocess in jaxlib's 1/s
+        # connect-retry loop indefinitely (observed hanging the suite).
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
     )
     assert res.returncode == 0, res.stderr
     loaded = ckpt.load_checkpoint(str(dst))
