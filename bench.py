@@ -47,6 +47,33 @@ def _pallas_guard(stage, fn, fallback):
         return fallback()
 
 
+def _probe_backend(timeout=150, attempts=4, sleep_s=30):
+    """Initialize the JAX backend in a SUBPROCESS first. When the axon TPU
+    tunnel is down, in-process backend init blocks forever in jaxlib's 1/s
+    connect-retry loop (observed: bench hung 10 min, then died with no JSON
+    line — the worst outcome for the driver artifact). A subprocess can be
+    timeout-killed and retried; only after a probe succeeds do we let the
+    real process touch the backend. Returns the backend name or None."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('BACKEND=' + jax.default_backend())"],
+                timeout=timeout, capture_output=True, text=True,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("BACKEND="):
+                    return line.split("=", 1)[1]
+        except subprocess.TimeoutExpired:
+            print(f"backend probe {i + 1}/{attempts} timed out "
+                  f"({timeout}s)", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--rays", type=int, default=32768)
@@ -67,6 +94,17 @@ def main():
                         default=True,
                         help="skip the hybrid-render benchmark")
     args = parser.parse_args()
+
+    if _probe_backend() is None:
+        # still ONE JSON line so the driver records a red-but-parseable
+        # artifact instead of an empty file
+        print(json.dumps({
+            "metric": "ray_samples_per_sec_per_chip", "value": 0.0,
+            "unit": "ray-samples/s", "vs_baseline": 0.0,
+            "error": "backend_init_unavailable: jax.devices() never came up "
+                     "(TPU tunnel down?) after 4 subprocess probes",
+        }))
+        sys.exit(1)
 
     import jax
     import jax.numpy as jnp
