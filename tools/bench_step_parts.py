@@ -132,6 +132,28 @@ if which in ("all", "mlpvjp"):
         scan_time(f"canonical MLP fwd+bwd [{R*mult}, {S}]", f,
                   params["coarse_human_net"])
 
+if which in ("all", "warpbwd"):
+    # the training warp fwd+bwd: the production path wraps it in
+    # jax.checkpoint (re-running the whole mesh query in the backward);
+    # with the Pallas-VJP MLPs the original memory rationale is gone, so
+    # measure what the recompute actually costs vs storing residuals
+    topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
+    verts_w = jnp.asarray(body.v_template)
+    raw_ts = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (body.num_verts, 1, 1))
+    base = jax.random.normal(jax.random.PRNGKey(8), (R * S, 3)) * 0.3
+    for label, ckpt in (("ckpt", True), ("nockpt", False)):
+        warp = lambda flat, v, t: mesh_ops.warp_points_to_canonical_diff(
+            flat, v, t, topo, k=4, knn_stride=4)
+        if ckpt:
+            warp = jax.checkpoint(warp)
+        def f(pts, warp=warp):
+            def loss(p):
+                can, f_id, _ = warp(p, verts_w, raw_ts)
+                return jnp.sum(can * can)
+            g = jax.grad(loss)(pts)
+            return pts + g * 1e-9
+        scan_time(f"warp fwd+bwd N={R*S} stride=4 [{label}]", f, base)
+
 if which in ("all", "query"):
     # strided signed-distance query at the training size (3x/step)
     topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
