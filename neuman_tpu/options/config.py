@@ -131,6 +131,13 @@ class NeuManConfig:
     profile_steps: int = 5
     seed: int = 42
     data_axis: str = "data"  # mesh axis name for ray-batch sharding
+    # GSPMD data parallelism over all visible devices (the reference's
+    # nn.DataParallel analog, train.py:26-28): "auto" builds a 1-D data
+    # mesh when >1 device is visible, "on" forces it (errors on 1 device
+    # only if the batch can't shard — constraints are no-ops at size 1),
+    # "off" trains single-device. Sharded == unsharded is bit-equality
+    # tested for both stages (tests/test_parallel.py).
+    data_parallel: str = "auto"
     compute_dtype: str = "float32"  # or "bfloat16" for the MLP matmuls
     # fused Pallas kernels on the hot paths (render + both train steps).
     # None = auto: enabled on TPU, off elsewhere (resolved in finalize();

@@ -16,9 +16,52 @@ slice, or multi-slice via DCN) — the mesh is the only abstraction the rest
 of the framework sees.
 """
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed():
+    """Initialize the multi-process JAX runtime when launched on a multi-host
+    topology (a pod slice, or an explicit coordinator via env).
+
+    `jax.distributed.initialize()` must run before the first backend touch on
+    every process of a multi-host job so `jax.devices()` returns the GLOBAL
+    device set and the `data` mesh axis spans hosts (collectives then ride
+    ICI within a slice and DCN across slices — no code changes elsewhere).
+    Single-process runs (one host's chips, CPU tests) skip it: calling
+    initialize() without a coordinator would fail, and the local device set
+    is already the global one. Returns True when initialized.
+
+    Activation: set NEUMAN_TPU_DISTRIBUTED=1 (TPU pod slices auto-discover
+    the coordinator) or provide JAX_COORDINATOR_ADDRESS (+ the standard
+    jax.distributed env contract: process id/count).
+    """
+    want = os.environ.get("NEUMAN_TPU_DISTRIBUTED", "") == "1" or bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not want:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
+def resolve_mesh(opt):
+    """Resolve the run's data mesh from config: a 1-D `data` mesh over all
+    visible devices under data_parallel="auto" (>1 device) or "on"; None
+    under "off" / a single device. Trainers replicate their state over the
+    mesh and sharding-constrain each sampled ray batch
+    (shard_leading_axis); renderers row-shard each chunk's ray axis — the
+    GSPMD analog of the reference's nn.DataParallel (train.py:26-28)."""
+    dp = getattr(opt, "data_parallel", "auto")
+    if dp == "off":
+        return None
+    n = len(jax.devices())
+    if n == 1 and dp != "on":
+        return None
+    return make_mesh(axis_name=getattr(opt, "data_axis", "data"))
 
 
 def make_mesh(n_devices=None, axis_name="data", devices=None):

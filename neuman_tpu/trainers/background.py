@@ -278,8 +278,14 @@ class NeRFTrainer:
             "iteration": jnp.int32(0),
             "rng": jax.random.PRNGKey(opt.seed),
         }
+        from neuman_tpu.parallel.mesh import put_replicated, resolve_mesh
+
+        self.mesh = resolve_mesh(opt)
+        if self.mesh is not None:
+            self.state = put_replicated(self.state, self.mesh)
         self.step_fn = make_bkg_train_step(
-            spec, opt, self.arrays, self.train_ids, self.optimizer
+            spec, opt, self.arrays, self.train_ids, self.optimizer,
+            mesh=self.mesh,
         )
         self.pusher = tlog.MetricsPusher(opt)
         self.meter = tlog.ThroughputMeter(
@@ -363,6 +369,7 @@ class NeRFTrainer:
                 importance_samples_per_ray=self.opt.importance_samples_per_ray,
                 white_bkg=self.opt.white_bkg,
                 use_pallas=getattr(self.opt, "use_pallas", False),
+                mesh=self.mesh,
             )
             try:
                 import imageio.v2 as imageio

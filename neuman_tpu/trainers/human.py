@@ -1071,8 +1071,14 @@ class HumanNeRFTrainer:
             "iteration": jnp.int32(0),
             "rng": jax.random.PRNGKey(opt.seed),
         }
+        from neuman_tpu.parallel.mesh import put_replicated, resolve_mesh
+
+        self.mesh = resolve_mesh(opt)
+        if self.mesh is not None:
+            self.state = put_replicated(self.state, self.mesh)
         self.step_fn = make_human_train_step(
-            spec, opt, self.arrays, self.train_ids, self.optimizer, self.ctx
+            spec, opt, self.arrays, self.train_ids, self.optimizer, self.ctx,
+            mesh=self.mesh,
         )
         self.loss_fn = make_human_loss_fn(spec, opt, self.ctx)
         self.pusher = tlog.MetricsPusher(opt)
@@ -1171,6 +1177,7 @@ class HumanNeRFTrainer:
             interval_comp=self.interval_comp,
             geo_threshold=self.opt.geo_threshold, knn_k=self.ctx["knn_k"],
             use_pallas=getattr(self.opt, "use_pallas", False),
+            mesh=self.mesh,
         )
         # clip depth display range to the solid region (ref: 502-509)
         alpha_mask = acc_map >= 1.0 - 1e-10

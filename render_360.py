@@ -37,6 +37,7 @@ def main_canonical_360(opt):
     from neuman_tpu.data_io import neuman
     from neuman_tpu.models import human_nerf as hn
     from neuman_tpu.render import paths, renderer
+    from neuman_tpu.parallel.mesh import resolve_mesh as _resolve_mesh
     from neuman_tpu.utils.constants import (
         CANONICAL_CAMERA_DIST,
         CANONICAL_ZOOM_FACTOR,
@@ -54,6 +55,7 @@ def main_canonical_360(opt):
     geo_threshold, can_bone = auto_geo_threshold(scene)
     spec = hn.build_human_nerf_spec(opt)
     params = load_net(opt, spec)
+    mesh = _resolve_mesh(opt)
     body_model = neuman.NeuManReader._body_model()
 
     center, up = smpl_verts_to_center_and_up(scene.static_vert[0], body_model)
@@ -79,6 +81,7 @@ def main_canonical_360(opt):
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
             knn_stride=getattr(opt, "knn_stride", 1),
+            mesh=mesh,
         )
         save_path = os.path.join(
             "./demo", f"canonical_360/{os.path.basename(opt.scene_dir)}",
@@ -94,6 +97,7 @@ def main_posed_360(opt):
     from neuman_tpu.data_io import neuman
     from neuman_tpu.models import human_nerf as hn
     from neuman_tpu.render import paths, renderer
+    from neuman_tpu.parallel.mesh import resolve_mesh as _resolve_mesh
     from neuman_tpu.utils.misc import smpl_verts_to_center_and_up
 
     import imageio.v2 as imageio
@@ -107,6 +111,7 @@ def main_posed_360(opt):
     geo_threshold, _ = auto_geo_threshold(scene)
     spec = hn.build_human_nerf_spec(opt)
     params = load_net(opt, spec)
+    mesh = _resolve_mesh(opt)
     body_model = neuman.NeuManReader._body_model()
 
     cap_id = 0
@@ -125,6 +130,7 @@ def main_posed_360(opt):
             render_can=False, geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
             knn_stride=getattr(opt, "knn_stride", 1),
+            mesh=mesh,
         )
         save_path = os.path.join(
             "./demo", f"posed_360/{os.path.basename(opt.scene_dir)}",

@@ -128,6 +128,7 @@ def main(opt):
     from neuman_tpu.data_io import neuman
     from neuman_tpu.models import human_nerf as hn
     from neuman_tpu.render import renderer
+    from neuman_tpu.parallel.mesh import resolve_mesh as _resolve_mesh
     from render_360 import load_net
     from train import auto_geo_threshold
 
@@ -144,6 +145,7 @@ def main(opt):
 
     bkg_spec = hn.build_human_nerf_spec(opt)
     bkg_params = load_net(opt, bkg_spec)
+    mesh = _resolve_mesh(opt)
 
     for i in range(len(caps)):
         out = renderer.render_hybrid_nerf_multi_persons(
@@ -159,6 +161,7 @@ def main(opt):
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
             knn_stride=getattr(opt, "knn_stride", 1),
+            mesh=mesh,
         )
         save_path = os.path.join(
             "./demo", f"gathering/{opt.motion_name}", f"out_{str(i).zfill(4)}.png"

@@ -129,6 +129,7 @@ def main(opt):
     from neuman_tpu.data_io import neuman
     from neuman_tpu.models import human_nerf as hn
     from neuman_tpu.render import renderer
+    from neuman_tpu.parallel.mesh import resolve_mesh as _resolve_mesh
     from render_360 import load_net
     from train import auto_geo_threshold
 
@@ -143,6 +144,7 @@ def main(opt):
     caps = read_novel_caps(opt, len(raw_verts), scene)
     spec = hn.build_human_nerf_spec(opt)
     params = load_net(opt, spec)
+    mesh = _resolve_mesh(opt)
 
     for i in range(len(raw_verts)):
         out = renderer.render_hybrid_nerf(
@@ -153,6 +155,7 @@ def main(opt):
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
             knn_stride=getattr(opt, "knn_stride", 1),
+            mesh=mesh,
         )
         save_path = os.path.join(
             "./demo", f"reposing/{os.path.basename(opt.scene_dir)}",

@@ -32,6 +32,9 @@ def main(opt):
     geo_threshold, _ = auto_geo_threshold(scene)
     spec = hn.build_human_nerf_spec(opt)
     params = load_net(opt, spec)
+    from neuman_tpu.parallel.mesh import resolve_mesh
+
+    mesh = resolve_mesh(opt)  # ray chunks shard across all visible chips
 
     preds, gts = [], []
     for view_name in test_views:
@@ -45,6 +48,7 @@ def main(opt):
             geo_threshold=geo_threshold,
             use_pallas=opt.use_pallas,
             knn_stride=getattr(opt, "knn_stride", 1),
+            mesh=mesh,
         )
         save_path = os.path.join(
             "./demo", f"test_views/{os.path.basename(opt.scene_dir)}",

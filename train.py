@@ -177,7 +177,11 @@ def train_human(opt):
 
 if __name__ == "__main__":
     from neuman_tpu.options import config as config_module
+    from neuman_tpu.parallel.mesh import maybe_init_distributed
 
+    # multi-host topologies must initialize the multi-process runtime before
+    # the first backend touch so the data mesh spans every host's chips
+    maybe_init_distributed()
     opt = config_module.from_cli()
     assert opt.scene_dir is not None, "--scene_dir is required"
     assert opt.normalize is True
