@@ -145,9 +145,21 @@ def apply_offset_net(spec: OffsetNetSpec, params, input_pts, scale, compute_dtyp
     return apply_nerf(spec.nerf, params, pts, scale=scale, compute_dtype=compute_dtype)
 
 
+def _pe_recurrence(opt):
+    """Resolve the config's pe_recurrence (None = auto: on for TPU) —
+    configs reach spec builders unfinalized in tools/benches."""
+    rec = getattr(opt, "pe_recurrence", None)
+    if rec is None:
+        import jax
+
+        rec = jax.default_backend() == "tpu"
+    return rec
+
+
 def build_nerf_specs(opt, posenc=None):
     """Coarse+fine joiner specs from config (ref: vanilla.py:208-250)."""
     mapping = posenc if posenc is not None else getattr(opt, "posenc", "posenc")
+    recurrence = _pe_recurrence(opt)
     pos_pe = embedder_module.make_embedder(
         opt.raw_pos_dim,
         opt.pos_max_freq,
@@ -156,6 +168,7 @@ def build_nerf_specs(opt, posenc=None):
         opt.include_input,
         min_freq=opt.pos_min_freq,
         mapping=mapping,
+        recurrence=recurrence,
     )
     dir_pe = embedder_module.make_embedder(
         opt.raw_dir_dim,
@@ -164,6 +177,7 @@ def build_nerf_specs(opt, posenc=None):
         opt.log_sampling,
         opt.include_input,
         mapping=mapping,
+        recurrence=recurrence,
     )
     nerf = NeRFSpec(
         depth=opt.nerf_depth,
@@ -184,6 +198,7 @@ def build_offset_net_spec(opt):
         opt.log_sampling,
         opt.include_input,
         min_freq=opt.pos_min_freq,
+        recurrence=_pe_recurrence(opt),
     )
     nerf = NeRFSpec(
         depth=opt.nerf_depth,

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from neuman_tpu.models import embedder as embedder_module
 from neuman_tpu.models.embedder import EmbedderSpec
 from neuman_tpu.models.nerf import JoinerSpec
 
@@ -41,17 +42,31 @@ def pe_rows(spec: EmbedderSpec, axes_cn, bvals=None):
     """
     if spec.mapping == "posenc":
         blocks = [axes_cn] if spec.include_input else []
-        for f in spec.freq_bands:
-            blocks.append(jnp.sin(axes_cn * f))
-            blocks.append(jnp.cos(axes_cn * f))
+        if spec.recurrence:
+            sins, coss = embedder_module.trig_ladder(
+                axes_cn * spec.freq_bands[0], len(spec.freq_bands)
+            )
+            for s, c in zip(sins, coss):
+                blocks.append(s)
+                blocks.append(c)
+        else:
+            for f in spec.freq_bands:
+                blocks.append(jnp.sin(axes_cn * f))
+                blocks.append(jnp.cos(axes_cn * f))
         return jnp.concatenate(blocks, axis=0)
     elif spec.mapping == "rotate":
         if bvals is None:
             bvals = jnp.asarray(
                 np.array(spec.bvals, dtype=np.float32).reshape(-1, 3)
             )
-        proj = jnp.tensordot(bvals, axes_cn, axes=[[1], [0]])  # [F, ...]
-        blocks = [jnp.sin(proj), jnp.cos(proj)]
+        if spec.recurrence:
+            nb = bvals.shape[0] // 3
+            proj0 = jnp.tensordot(bvals[:3], axes_cn, axes=[[1], [0]])
+            sins, coss = embedder_module.trig_ladder(proj0, nb)
+            blocks = [jnp.concatenate(sins, 0), jnp.concatenate(coss, 0)]
+        else:
+            proj = jnp.tensordot(bvals, axes_cn, axes=[[1], [0]])  # [F, ...]
+            blocks = [jnp.sin(proj), jnp.cos(proj)]
         if spec.include_input:
             blocks = [axes_cn] + blocks
         return jnp.concatenate(blocks, axis=0)
@@ -70,13 +85,19 @@ def pe_rows_bwd(spec: EmbedderSpec, axes_cn, d_pe, bvals=None, bvals_t=None):
         d = spec.input_dims
         idx = d if spec.include_input else 0
         d_axes = d_pe[:d] if spec.include_input else jnp.zeros_like(axes_cn)
-        for f in spec.freq_bands:
+        if spec.recurrence:
+            sins, coss = embedder_module.trig_ladder(
+                axes_cn * spec.freq_bands[0], len(spec.freq_bands)
+            )
+        for j, f in enumerate(spec.freq_bands):
             d_sin = d_pe[idx : idx + d]
             d_cos = d_pe[idx + d : idx + 2 * d]
             idx += 2 * d
-            d_axes = d_axes + f * (
-                jnp.cos(axes_cn * f) * d_sin - jnp.sin(axes_cn * f) * d_cos
-            )
+            if spec.recurrence:
+                s, c = sins[j], coss[j]
+            else:
+                s, c = jnp.sin(axes_cn * f), jnp.cos(axes_cn * f)
+            d_axes = d_axes + f * (c * d_sin - s * d_cos)
         return d_axes
     elif spec.mapping == "rotate":
         if bvals is None:
@@ -88,10 +109,20 @@ def pe_rows_bwd(spec: EmbedderSpec, axes_cn, d_pe, bvals=None, bvals_t=None):
         d = spec.input_dims  # make_embedder asserts 3 for 'rotate'
         f = bvals.shape[0]
         base = d if spec.include_input else 0
-        proj = jnp.dot(bvals, axes_cn, preferred_element_type=jnp.float32)
+        if spec.recurrence:
+            nb = f // 3
+            proj0 = jnp.dot(
+                bvals[:3], axes_cn, preferred_element_type=jnp.float32
+            )
+            sins, coss = embedder_module.trig_ladder(proj0, nb)
+            sin_p = jnp.concatenate(sins, 0)
+            cos_p = jnp.concatenate(coss, 0)
+        else:
+            proj = jnp.dot(bvals, axes_cn, preferred_element_type=jnp.float32)
+            sin_p, cos_p = jnp.sin(proj), jnp.cos(proj)
         d_proj = (
-            jnp.cos(proj) * d_pe[base : base + f]
-            - jnp.sin(proj) * d_pe[base + f : base + 2 * f]
+            cos_p * d_pe[base : base + f]
+            - sin_p * d_pe[base + f : base + 2 * f]
         )
         d_axes = jnp.dot(bvals_t, d_proj, preferred_element_type=jnp.float32)
         if spec.include_input:

@@ -143,6 +143,13 @@ class NeuManConfig:
     # None = auto: enabled on TPU, off elsewhere (resolved in finalize();
     # every path has an XLA twin that parity tests pin to the kernels)
     use_pallas: Optional[bool] = None
+    # positional-encoding sin/cos via the double-angle octave recurrence
+    # (2 transcendentals + ~4 FMAs/band instead of 2 transcendentals/band;
+    # 3.98e-5 max f32 error on the 10-octave reference ladder). None =
+    # auto: on for TPU (where the kernels' serial VPU time pays for it),
+    # exact trig elsewhere. Only applies when the bands are an exact
+    # octave ladder (the reference's 2**linspace config always is).
+    pe_recurrence: Optional[bool] = None
 
     # ---- derived (set by finalize) ----
     out: Optional[str] = None
@@ -162,6 +169,10 @@ class NeuManConfig:
             import jax
 
             self.use_pallas = jax.default_backend() == "tpu"
+        if self.pe_recurrence is None:
+            import jax
+
+            self.pe_recurrence = jax.default_backend() == "tpu"
         if self.image_height is not None or self.image_width is not None:
             assert self.image_height is not None and self.image_width is not None
             self.tgt_size = (self.image_height, self.image_width)

@@ -41,6 +41,74 @@ def test_pe_rows_match_embed():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_pe_recurrence_parity():
+    """Double-angle-recurrence PE vs exact trig: values, rows, and the
+    hand-derived VJP, both mappings; and the ladder guard (non-octave
+    bands silently keep exact trig)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-3.2, 3.2, (257, 3)).astype(np.float32))
+    xr = x.T  # [3, N]
+    for mapping in ("posenc", "rotate"):
+        trig = emb.make_embedder(3, 9, 10, mapping=mapping)
+        rec = emb.make_embedder(3, 9, 10, mapping=mapping, recurrence=True)
+        assert rec.recurrence
+        np.testing.assert_allclose(
+            np.asarray(emb.embed(rec, x)), np.asarray(emb.embed(trig, x)),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.pe_rows(rec, xr)),
+            np.asarray(fused.pe_rows(trig, xr)), atol=1e-4,
+        )
+        d_pe = jnp.asarray(
+            rng.normal(size=(trig.out_dim, x.shape[0])).astype(np.float32)
+        )
+        ref = fused.pe_rows_bwd(trig, xr, d_pe)
+        got = fused.pe_rows_bwd(rec, xr, d_pe)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4 * scale
+        )
+    # 20 bands over 9 octaves: ratio != 2, recurrence must stay off
+    assert not emb.make_embedder(3, 9, 20, recurrence=True).recurrence
+
+
+def test_mlp_planar_recurrence_matches_trig_spec():
+    """The full planar MLP under a recurrence-PE spec stays within the
+    PE approximation error of the exact-trig spec (values and grads)."""
+    spec = make_spec("rotate")
+    rec_spec = spec.replace(
+        pos_pe=spec.pos_pe.replace(recurrence=True),
+        dir_pe=spec.dir_pe.replace(recurrence=True),
+    )
+    params = nerf_module.init_nerf_params(jax.random.PRNGKey(1), spec.nerf)
+    r, s = 8, 12
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (r, s, 3)) - 0.5
+    d = jax.random.normal(jax.random.PRNGKey(3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    planes = [pts[..., a] for a in range(3)]
+    dirs = [d[:, a] for a in range(3)]
+
+    def loss(sp, p):
+        sigma, rgb = fused.mlp_planar(sp, p, planes, dirs, jnp.float32)
+        return jnp.sum(sigma) + sum(jnp.sum(c) for c in rgb), (sigma, rgb)
+
+    (l_t, (sig_t, _)), g_t = jax.value_and_grad(
+        lambda p: loss(spec, p), has_aux=True
+    )(params)
+    (l_r, (sig_r, _)), g_r = jax.value_and_grad(
+        lambda p: loss(rec_spec, p), has_aux=True
+    )(params)
+    np.testing.assert_allclose(np.asarray(sig_r), np.asarray(sig_t), atol=5e-3)
+    ft = jax.tree_util.tree_leaves(g_t)
+    fr = jax.tree_util.tree_leaves(g_r)
+    for a, b in zip(fr, ft):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3 * scale
+        )
+
+
 def test_mlp_planar_matches_apply_joiner():
     for mapping in ("posenc", "rotate"):
         spec = make_spec(mapping)

@@ -95,6 +95,36 @@ def test_grad_parity_per_sample(posenc):
     _assert_trees_close(gp[2], gx[2], what="dir planes")
 
 
+def test_grad_parity_per_sample_recurrence_pe():
+    """Kernel and oracle under the SAME recurrence-PE spec (the TPU
+    production config) agree to the usual kernel tolerance."""
+    spec = _spec("rotate")
+    spec = spec.replace(
+        pos_pe=spec.pos_pe.replace(recurrence=True),
+        dir_pe=spec.dir_pe.replace(recurrence=True),
+    )
+    assert spec.pos_pe.recurrence and spec.dir_pe.recurrence
+    params, planes, dir_planes, _, g_sig, g_rgb = _setup(spec)
+    f = raymarch_vjp.make_mlp_vjp(
+        spec, compute_dtype=jnp.float32, interpret=True
+    )
+
+    def loss_pallas(params, planes, dir_planes):
+        return _loss_from(f(params, *planes, *dir_planes), g_sig, g_rgb)
+
+    def loss_xla(params, planes, dir_planes):
+        out = fused.mlp_planar(
+            spec, params, planes, dir_planes, jnp.float32, dirs_per_ray=False
+        )
+        return _loss_from(out, g_sig, g_rgb)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, planes, dir_planes)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, planes, dir_planes)
+    _assert_trees_close(gp[0], gx[0], what="params")
+    _assert_trees_close(gp[1], gx[1], what="planes")
+    _assert_trees_close(gp[2], gx[2], what="dir planes")
+
+
 def test_grad_parity_per_ray():
     spec = _spec("posenc")
     params, planes, _, dirs, g_sig, g_rgb = _setup(spec)
