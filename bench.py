@@ -37,14 +37,27 @@ _PALLAS_FAILURES = []
 
 def _pallas_guard(stage, fn, fallback):
     """Run fn(); on any exception record the failure for the JSON line and
-    run fallback() instead (the XLA path, so the metric is still measured)."""
+    run fallback() instead (the XLA path, so the metric is still measured).
+    If the FALLBACK also dies, record that too and return None — one broken
+    stage must never destroy the whole artifact (BENCH_r03 lesson: the r3
+    VMEM OOM escaped through a fallback that re-selected the same kernel
+    and the driver got rc=1 with zero numbers)."""
     try:
         return fn()
     except Exception as e:  # noqa: BLE001 — any kernel failure must surface
         msg = f"{stage}:{type(e).__name__}"
         _PALLAS_FAILURES.append(msg)
         print(f"PALLAS FAILURE in {stage}: {e}", file=sys.stderr)
+    try:
         return fallback()
+    except Exception as e:  # noqa: BLE001
+        _PALLAS_FAILURES.append(f"{stage}-xla-fallback:{type(e).__name__}")
+        print(f"FALLBACK FAILURE in {stage}: {e}", file=sys.stderr)
+        return None
+
+
+def _round1(x):
+    return None if x is None else round(x, 1)
 
 
 def _probe_backend(timeout=150, attempts=4, sleep_s=30):
@@ -208,24 +221,32 @@ def main():
             lambda: compile_render(make_xla_chunk()),
         )
     else:
-        fn = compile_render(render_chunk)
+        fn = _pallas_guard(
+            "render", lambda: compile_render(render_chunk), lambda: None
+        )
 
-    t0 = time.time()
-    float(fn(origins))
-    dt = time.time() - t0
-
-    # MLP-evaluated samples: S coarse + (S + I) fine per ray
-    samples_per_iter = R * (S + (S + I))
-    value = samples_per_iter * args.iters / dt
+    if fn is None:
+        value = 0.0
+    else:
+        t0 = time.time()
+        float(fn(origins))
+        dt = time.time() - t0
+        # MLP-evaluated samples: S coarse + (S + I) fine per ray
+        samples_per_iter = R * (S + (S + I))
+        value = samples_per_iter * args.iters / dt
     result = {
         "metric": "ray_samples_per_sec_per_chip",
         "value": float(value),
         "unit": "ray-samples/s",
         "vs_baseline": float(value / 1e7),
+        # timing protocol: iters chained inside one jit via lax.scan
+        # (excludes the axon tunnel's per-dispatch latency). r1/r2 numbers
+        # were per-iter dispatch — not directly comparable (BASELINE.md).
+        "protocol": "scan",
     }
     want_pallas = jax.default_backend() == "tpu" and not args.naive
     if args.train:
-        result["human_train_step_ms"] = round(
+        result["human_train_step_ms"] = _round1(
             _pallas_guard(
                 "human_step",
                 lambda: bench_human_train_step(
@@ -234,10 +255,9 @@ def main():
                 lambda: bench_human_train_step(
                     args.train_scan_iters, use_pallas=False
                 ),
-            ),
-            1,
+            )
         )
-        result["bkg_train_step_ms"] = round(
+        result["bkg_train_step_ms"] = _round1(
             _pallas_guard(
                 "bkg_step",
                 lambda: bench_bkg_train_step(
@@ -246,23 +266,22 @@ def main():
                 lambda: bench_bkg_train_step(
                     args.train_scan_iters, use_pallas=False
                 ),
-            ),
-            1,
+            )
         )
     if args.hybrid:
-        hyb_ms = round(
+        hyb_ms = _round1(
             _pallas_guard(
                 "hybrid_render",
                 lambda: bench_hybrid_render(use_pallas=want_pallas),
                 lambda: bench_hybrid_render(use_pallas=False),
-            ),
-            1,
+            )
         )
         result["hybrid_render_ms"] = hyb_ms  # per 4096-ray chunk
         # user-facing eval speed: seconds per 1280x720 frame through
         # render_hybrid_nerf (the render_test_views path)
-        result["hybrid_sec_per_frame"] = round(
-            hyb_ms / 1e3 * (1280 * 720 / 4096), 2
+        result["hybrid_sec_per_frame"] = (
+            None if hyb_ms is None
+            else round(hyb_ms / 1e3 * (1280 * 720 / 4096), 2)
         )
     if want_pallas or args.pallas:
         result["pallas"] = (
@@ -494,4 +513,14 @@ def bench_hybrid_render(scan_iters=10, rays=4096, samples=64, importance=32,
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001 — always emit ONE parseable line
+        print(json.dumps({
+            "metric": "ray_samples_per_sec_per_chip", "value": 0.0,
+            "unit": "ray-samples/s", "vs_baseline": 0.0, "protocol": "scan",
+            "error": f"unhandled:{type(e).__name__}: {e}"[:400],
+        }))
+        sys.exit(1)

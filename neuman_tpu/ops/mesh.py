@@ -320,7 +320,7 @@ def build_query_tables(verts, topology: "MeshTopology"):
 
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
                               exact_knn=False, knn_stride=1, knn_impl=None,
-                              tables: QueryTables = None):
+                              tables: QueryTables = None, use_pallas=None):
     """KNN-accelerated closest point with planarized internals.
 
     points: [N, 3]; verts: [V, 3]. Returns (dist2 [N], f_id [N], closest as
@@ -344,6 +344,11 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
     XLA path stop-gradients verts to keep backend-independent semantics.
     Differentiable consumers (the barycentric T-blend) re-derive their
     verts dependence from the returned closest points / face ids.
+
+    use_pallas: None = backend default (Pallas candidate phase on TPU,
+    XLA feature-major elsewhere); False = force the XLA path even on TPU
+    (the crash-proof fallback bench.py's _pallas_guard relies on);
+    True = force the Pallas kernel (interpret-mode off-TPU).
     """
     verts = jax.lax.stop_gradient(verts)
     faces = topology.faces
@@ -395,7 +400,9 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
     # [V, I*16] row (V*I indices, negligible) and fetch k rows per point —
     # N*k indices, a 16x reduction for identical candidates.
     inc_width = topology.incidence.shape[1]
-    if jax.default_backend() == "tpu":
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
         # Pallas candidate phase: XLA re-fuses the gather+transpose into
         # every elementwise consumer of the Ericson test and recomputes it
         # (measured 96 ms for 3 ms of math at N=196k, C=24; optimization
@@ -534,11 +541,13 @@ def _corners_at(verts, topology, f_id):
 
 
 def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
-                            knn_stride=1, tables: QueryTables = None):
+                            knn_stride=1, tables: QueryTables = None,
+                            use_pallas=None):
     """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
     faces = topology.faces
     d2, f_id, closest = point_mesh_closest_planar(
-        points, verts, topology, k=k, knn_stride=knn_stride, tables=tables
+        points, verts, topology, k=k, knn_stride=knn_stride, tables=tables,
+        use_pallas=use_pallas,
     )
     c0, c1, c2 = _corners_at(verts, topology, f_id)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
@@ -562,7 +571,7 @@ def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
 
 
 def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
-                    knn_stride=1, tables: QueryTables = None):
+                    knn_stride=1, tables: QueryTables = None, use_pallas=None):
     """Signed distance to a watertight mesh (negative inside).
 
     Same contract as igl.signed_distance (human_nerf_trainer.py:310-314):
@@ -571,7 +580,8 @@ def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
     """
     if method == "knn":
         sd, f_id, closest = _signed_distance_planar(
-            points, verts, topology, k=k, knn_stride=knn_stride, tables=tables
+            points, verts, topology, k=k, knn_stride=knn_stride,
+            tables=tables, use_pallas=use_pallas,
         )
         return sd, f_id, jnp.stack(closest, axis=-1)
     d2, f_id, closest = point_mesh_closest(points, verts, topology, k=k, method=method)
@@ -659,7 +669,7 @@ def apply_affine_cols(aff, p):
 
 
 def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method="knn",
-                              knn_stride=1):
+                              knn_stride=1, use_pallas=None):
     """Inference-time warp: observation samples -> canonical space.
 
     pts: [R, S, 3]; verts: [V, 3]; T: [V, 4, 4] (or [V+J, 4, 4]; only the
@@ -670,7 +680,8 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
     flat = pts.reshape(-1, 3)
     if method == "knn":
         _, f_id, closest_cols = point_mesh_closest_planar(
-            flat, verts, topology, k=k, knn_stride=knn_stride
+            flat, verts, topology, k=k, knn_stride=knn_stride,
+            use_pallas=use_pallas,
         )
         aff = _blend_inverse_affine(closest_cols, f_id, verts, T, topology)
         can_cols = apply_affine_cols(aff, (flat[:, 0], flat[:, 1], flat[:, 2]))
@@ -689,13 +700,14 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
 
 
 def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8,
-                                  knn_stride=1):
+                                  knn_stride=1, use_pallas=None):
     """Training-time warp, planar internals: pts [N, 3] -> (can [N, 3],
     f_id [N], signed_dist [N]). Same gradient semantics as
     `warp_samples_to_canonical_diff` (closest point / face choice
     stop-gradient; barycentric T-blend differentiable w.r.t. `verts`)."""
     sd, f_id, closest_cols = _signed_distance_planar(
-        pts, jax.lax.stop_gradient(verts), topology, k=k, knn_stride=knn_stride
+        pts, jax.lax.stop_gradient(verts), topology, k=k,
+        knn_stride=knn_stride, use_pallas=use_pallas,
     )
     aff = _blend_inverse_affine(
         closest_cols, f_id, verts, T, topology, differentiable=True

@@ -29,6 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 from neuman_tpu.ops.mesh import closest_point_on_triangles_planar
 
 _LANE_TILE = 2048
+# The kernel's live set scales linearly with the candidate count C: ~52
+# [C, tn] f32 planes (9C packed input rows + cand + the Ericson region
+# test temporaries + selects; 19.62 MB measured by the Mosaic scoped-VMEM
+# allocator at C=48, tn=2048 => 52.3 planes). Budget the lane tile against
+# 10 MB — conservative vs the 16 MB scoped limit — so C=24 (training,
+# k=4 x incidence 6) keeps tn=2048 while C=48 (render CLIs, k=8) drops to
+# 1024 and C=72 (real SMPL, deg 9, k=8) to 512 instead of OOMing.
+_VMEM_BUDGET = 10 * 2**20
+_VMEM_PLANES = 52
+
+
+def _lane_tile(num_cands, n):
+    tn = _LANE_TILE
+    while tn > 128 and _VMEM_PLANES * num_cands * tn * 4 > _VMEM_BUDGET:
+        tn //= 2
+    if n < tn:
+        # one lane-aligned tile covering all points
+        tn = max(128, -(-n // 128) * 128)
+    return tn
 
 
 def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands):
@@ -84,7 +103,7 @@ def _ericson_select_impl(p3, rows9, cand, interpret):
         ).reshape(9 * (num_cands + c_pad), n)
         cand = jnp.pad(cand, ((0, c_pad), (0, 0)), constant_values=-1)
         num_cands += c_pad
-    tn = min(_LANE_TILE, n)
+    tn = _lane_tile(num_cands, n)
     pad = (-n) % tn
     if pad:
         p3 = jnp.pad(p3, ((0, 0), (0, pad)), mode="edge")

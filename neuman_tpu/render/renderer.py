@@ -251,6 +251,7 @@ def _human_branch_planar(
         _, f_id, closest_cols = mesh_ops.point_mesh_closest_planar(
             flat, posed_verts, topology, k=knn_k,
             knn_stride=mesh_ops.stride_for(samples_per_ray, knn_stride),
+            use_pallas=None if use_pallas else False,
         )
         aff = mesh_ops._blend_inverse_affine(
             closest_cols, f_id, posed_verts, Ts, topology

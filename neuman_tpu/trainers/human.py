@@ -447,9 +447,14 @@ def make_human_loss_fn(spec, opt, ctx):
     # rematerialized (checkpointed) hot ops: the mesh-query gather rows and
     # MLP activations dominate backward-pass memory; recomputing them in the
     # bwd trades ~30% extra FLOPs for fitting reference-scale batches in HBM
+    # opt.use_pallas=False must force the XLA candidate phase too (the
+    # bench/driver fallback when a Mosaic kernel regresses); None keeps the
+    # backend default inside the mesh ops.
+    mesh_up = None if getattr(opt, "use_pallas", False) else False
     warp_ckpt = jax.checkpoint(
         lambda flat, v, t: mesh_ops.warp_points_to_canonical_diff(
-            flat, v, t, topo, k=knn_k, knn_stride=knn_stride
+            flat, v, t, topo, k=knn_k, knn_stride=knn_stride,
+            use_pallas=mesh_up,
         )
     )
     if getattr(opt, "use_pallas", False):
@@ -626,7 +631,7 @@ def make_human_loss_fn(spec, opt, ctx):
         # warped ray samples stay spatially consecutive -> stride applies
         sd, _, _ = mesh_ops.signed_distance(
             jax.lax.stop_gradient(flat), can_verts, topo, k=knn_k,
-            knn_stride=knn_stride, tables=tables,
+            knn_stride=knn_stride, tables=tables, use_pallas=mesh_up,
         )
         inside = (sd < 0).astype(jnp.float32)
         occ = 1.0 - jnp.exp(-jax.nn.relu(sg.reshape(-1)))
@@ -635,7 +640,7 @@ def make_human_loss_fn(spec, opt, ctx):
         dummy_flat = jnp.stack([p.reshape(-1) for p in d_planes], axis=-1)
         sd_d, _, _ = mesh_ops.signed_distance(
             dummy_flat, can_verts, topo, k=knn_k, knn_stride=knn_stride,
-            tables=tables,
+            tables=tables, use_pallas=mesh_up,
         )
         sd_d = jax.lax.stop_gradient(sd_d)
         d_inside = (sd_d < 0).astype(jnp.float32)

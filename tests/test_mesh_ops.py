@@ -493,3 +493,59 @@ def test_bucketed_knn_tiny_mesh_index_clamp():
     got = np.asarray(bucketed_knn_pallas(pts, verts, 4, num_buckets=8,
                                          interpret=True))
     assert got.min() >= 0 and got.max() <= 4, got
+
+
+def test_lane_tile_vmem_budget():
+    """The Ericson kernel's lane tile must scale down with the candidate
+    count so the ~52 [C, tn] f32 planes stay under the scoped-VMEM budget
+    (the BENCH_r03 OOM: C=48 at the old fixed tn=2048 allocated 19.62 MB
+    vs the 16 MB limit). C=24 (training) must KEEP tn=2048."""
+    from neuman_tpu.ops.pallas.meshquery import (
+        _VMEM_BUDGET,
+        _VMEM_PLANES,
+        _lane_tile,
+    )
+
+    assert _lane_tile(24, 10**6) == 2048
+    for c in (24, 48, 72, 80):
+        tn = _lane_tile(c, 10**6)
+        assert tn >= 128 and tn % 128 == 0
+        assert _VMEM_PLANES * c * tn * 4 <= _VMEM_BUDGET, (c, tn)
+    # small-N: one lane-aligned tile covering all points
+    assert _lane_tile(24, 100) == 128
+    assert _lane_tile(48, 3000) % 128 == 0
+
+
+def test_point_mesh_closest_use_pallas_flag():
+    """use_pallas=True (interpret off-TPU) and use_pallas=False (the XLA
+    fallback bench.py relies on) must agree through the PUBLIC entry point
+    — the r3 artifact was lost because False didn't actually bypass the
+    kernel (ops/mesh.py hard-selected it on backend)."""
+    from neuman_tpu.utils.synthetic_body import (
+        sample_query_points,
+        synthetic_body_mesh,
+    )
+
+    verts_np, faces_np = synthetic_body_mesh(subdivisions=2)
+    topo = mesh_ops.MeshTopology.build(faces_np, verts_np.shape[0])
+    verts = jnp.asarray(verts_np)
+    pts = jnp.asarray(sample_query_points(verts_np, 256, seed=11))
+
+    d2_x, _, cp_x = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=4, use_pallas=False
+    )
+    d2_p, _, cp_p = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=4, use_pallas=True
+    )
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_x), atol=1e-6)
+    for a, b in zip(cp_p, cp_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # the signed-distance / warp wrappers must thread the flag through
+    sd_x, _, _ = mesh_ops.signed_distance(
+        pts, verts, topo, k=4, use_pallas=False
+    )
+    sd_p, _, _ = mesh_ops.signed_distance(
+        pts, verts, topo, k=4, use_pallas=True
+    )
+    np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x), atol=1e-5)
