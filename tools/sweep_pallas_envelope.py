@@ -26,15 +26,27 @@ import numpy as np
 
 def _case(name, fn, failures, verbose_tb=False):
     t0 = time.time()
-    try:
-        fn()
-        print(f"PASS  {name}  ({time.time() - t0:.1f}s)", flush=True)
-    except Exception as e:  # noqa: BLE001 — report every cliff, keep going
-        failures.append(f"{name}: {type(e).__name__}")
-        msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
-        print(f"FAIL  {name}  ({time.time() - t0:.1f}s): {msg}", flush=True)
-        if verbose_tb:
-            traceback.print_exc()
+    last = None
+    for attempt in range(3):
+        try:
+            fn()
+            print(f"PASS  {name}  ({time.time() - t0:.1f}s)", flush=True)
+            return
+        except Exception as e:  # noqa: BLE001 — report every cliff, keep going
+            last = e
+            # transient tunnel/backend outages (observed right after another
+            # process released the chip) are not kernel cliffs — retry them
+            if "backend error" in str(e) or "FAILED_PRECONDITION" in str(e):
+                print(f"RETRY {name}: backend error, attempt {attempt + 1}",
+                      flush=True)
+                time.sleep(30)
+                continue
+            break
+    failures.append(f"{name}: {type(last).__name__}")
+    msg = str(last).splitlines()[0][:200] if str(last) else type(last).__name__
+    print(f"FAIL  {name}  ({time.time() - t0:.1f}s): {msg}", flush=True)
+    if verbose_tb:
+        traceback.print_exc()
 
 
 def sweep_ericson(failures, quick):
@@ -249,11 +261,13 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     failures = []
     t0 = time.time()
-    sweep_ericson(failures, args.quick)
-    sweep_bucketed_knn(failures, args.quick)
-    sweep_mlp(failures, args.quick)
-    sweep_mlp_vjp(failures, args.quick)
-    sweep_offset_vjp(failures, args.quick)
+    for sweep in (sweep_ericson, sweep_bucketed_knn, sweep_mlp,
+                  sweep_mlp_vjp, sweep_offset_vjp):
+        try:
+            sweep(failures, args.quick)
+        except Exception as e:  # noqa: BLE001 — fixture/setup crash
+            failures.append(f"{sweep.__name__}-setup: {type(e).__name__}")
+            print(f"FAIL  {sweep.__name__} setup: {e}", flush=True)
     dt = time.time() - t0
     if failures:
         print(f"SWEEP FAILED ({len(failures)} cases, {dt:.0f}s): "
