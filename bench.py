@@ -106,7 +106,20 @@ def main():
     parser.add_argument("--no-hybrid", dest="hybrid", action="store_false",
                         default=True,
                         help="skip the hybrid-render benchmark")
+    parser.add_argument("--break-stage", type=str, default=None,
+                        help="fault injection: make the named stage's "
+                             "primary path raise, proving the artifact "
+                             "degrades to the XLA fallback instead of dying "
+                             "(stages: render, human_step, bkg_step, "
+                             "hybrid_render)")
     args = parser.parse_args()
+
+    def _maybe_break(stage, fn):
+        if args.break_stage == stage:
+            def broken():
+                raise RuntimeError(f"fault injection: --break-stage {stage}")
+            return broken
+        return fn
 
     if _probe_backend() is None:
         # still ONE JSON line so the driver records a red-but-parseable
@@ -217,7 +230,8 @@ def main():
 
     if args.pallas:
         fn = _pallas_guard(
-            "render", lambda: compile_render(render_chunk),
+            "render",
+            _maybe_break("render", lambda: compile_render(render_chunk)),
             lambda: compile_render(make_xla_chunk()),
         )
     else:
@@ -249,9 +263,9 @@ def main():
         result["human_train_step_ms"] = _round1(
             _pallas_guard(
                 "human_step",
-                lambda: bench_human_train_step(
+                _maybe_break("human_step", lambda: bench_human_train_step(
                     args.train_scan_iters, use_pallas=want_pallas
-                ),
+                )),
                 lambda: bench_human_train_step(
                     args.train_scan_iters, use_pallas=False
                 ),
@@ -260,9 +274,9 @@ def main():
         result["bkg_train_step_ms"] = _round1(
             _pallas_guard(
                 "bkg_step",
-                lambda: bench_bkg_train_step(
+                _maybe_break("bkg_step", lambda: bench_bkg_train_step(
                     args.train_scan_iters, use_pallas=want_pallas
-                ),
+                )),
                 lambda: bench_bkg_train_step(
                     args.train_scan_iters, use_pallas=False
                 ),
@@ -272,7 +286,10 @@ def main():
         hyb_ms = _round1(
             _pallas_guard(
                 "hybrid_render",
-                lambda: bench_hybrid_render(use_pallas=want_pallas),
+                _maybe_break(
+                    "hybrid_render",
+                    lambda: bench_hybrid_render(use_pallas=want_pallas),
+                ),
                 lambda: bench_hybrid_render(use_pallas=False),
             )
         )
