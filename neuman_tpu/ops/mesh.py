@@ -388,11 +388,6 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         else:
             _, knn_idx = jax.lax.top_k(-d2_pv, k)
     knn_idx_s = knn_idx  # strided [Nq, k]: group gathers stay at Nq
-    if stride > 1:
-        knn_idx = jnp.repeat(knn_idx, stride, axis=0)  # [N, k]
-    cand = topology.incidence[knn_idx].reshape(n_pts, -1)  # [N, C]
-    valid = cand >= 0
-    cand_safe = jnp.maximum(cand, 0)
 
     # Gathers pay per INDEX: fetching the C = k*I candidate faces as [N, C]
     # row gathers costs N*C indices (measured 43 ms of a 53 ms query at
@@ -410,11 +405,14 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         # exactly once and the whole region test + select stays in VMEM.
         from neuman_tpu.ops.pallas.meshquery import ericson_select_pallas
 
-        # the big packed-row gather pays per index: fetch at the strided
-        # group size and broadcast lanes afterwards (cheap copy vs gather).
-        # Layout is COORDINATE-MAJOR ([9*C, N], one [C, N] sublane block
-        # per corner coordinate) so the kernel's region test runs at full
-        # sublane occupancy — see meshquery._kernel.
+        # Every candidate-side table stays at the STRIDED group size: the
+        # kernel is group-aware (meshquery._kernel loops the stride members
+        # over shared [C, TN] corner planes), so the former host-side lane
+        # repeat (170 MB materialized per query at N=196k, C=24, stride=4)
+        # and the full-N incidence gather are gone.
+        # Layout is COORDINATE-MAJOR ([9*C, Nq], one [C, Nq] sublane block
+        # per corner coordinate) so the region test runs at full sublane
+        # occupancy.
         vtab9 = (
             tables.vtab9
             if tables is not None
@@ -424,13 +422,19 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         )
         nq = n_pts // stride
         c_cands = k * inc_width
+        cand_s = topology.incidence[knn_idx_s].reshape(nq, -1)  # [Nq, C]
         g9 = vtab9[knn_idx_s].reshape(nq, c_cands, 9)
         rows9 = g9.transpose(2, 1, 0).reshape(9 * c_cands, nq)
-        if stride > 1:
-            rows9 = jnp.repeat(rows9, stride, axis=1)  # [9*C, N]
         p3 = points.T  # [3, N]
-        d2, f_id, closest = ericson_select_pallas(p3, rows9, cand.T)
+        d2, f_id, closest = ericson_select_pallas(
+            p3, rows9, cand_s.T, stride=stride
+        )
         return d2, f_id, closest
+    if stride > 1:
+        knn_idx = jnp.repeat(knn_idx, stride, axis=0)  # [N, k]
+    cand = topology.incidence[knn_idx].reshape(n_pts, -1)  # [N, C]
+    valid = cand >= 0
+    cand_safe = jnp.maximum(cand, 0)
     tri = _packed_face_table(verts, faces, pad_to=16)
     vtab = tri[jnp.maximum(topology.incidence, 0)].reshape(
         verts.shape[0], inc_width * 16
@@ -542,12 +546,12 @@ def _corners_at(verts, topology, f_id):
 
 def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
                             knn_stride=1, tables: QueryTables = None,
-                            use_pallas=None):
+                            use_pallas=None, knn_impl=None):
     """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
     faces = topology.faces
     d2, f_id, closest = point_mesh_closest_planar(
         points, verts, topology, k=k, knn_stride=knn_stride, tables=tables,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, knn_impl=knn_impl,
     )
     c0, c1, c2 = _corners_at(verts, topology, f_id)
     u, v, w = barycentric_planar(closest, c0, c1, c2)
@@ -571,7 +575,8 @@ def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
 
 
 def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
-                    knn_stride=1, tables: QueryTables = None, use_pallas=None):
+                    knn_stride=1, tables: QueryTables = None, use_pallas=None,
+                    knn_impl=None):
     """Signed distance to a watertight mesh (negative inside).
 
     Same contract as igl.signed_distance (human_nerf_trainer.py:310-314):
@@ -581,7 +586,7 @@ def signed_distance(points, verts, topology: MeshTopology, k=8, method="knn",
     if method == "knn":
         sd, f_id, closest = _signed_distance_planar(
             points, verts, topology, k=k, knn_stride=knn_stride,
-            tables=tables, use_pallas=use_pallas,
+            tables=tables, use_pallas=use_pallas, knn_impl=knn_impl,
         )
         return sd, f_id, jnp.stack(closest, axis=-1)
     d2, f_id, closest = point_mesh_closest(points, verts, topology, k=k, method=method)
@@ -700,14 +705,15 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
 
 
 def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8,
-                                  knn_stride=1, use_pallas=None):
+                                  knn_stride=1, use_pallas=None,
+                                  knn_impl=None):
     """Training-time warp, planar internals: pts [N, 3] -> (can [N, 3],
     f_id [N], signed_dist [N]). Same gradient semantics as
     `warp_samples_to_canonical_diff` (closest point / face choice
     stop-gradient; barycentric T-blend differentiable w.r.t. `verts`)."""
     sd, f_id, closest_cols = _signed_distance_planar(
         pts, jax.lax.stop_gradient(verts), topology, k=k,
-        knn_stride=knn_stride, use_pallas=use_pallas,
+        knn_stride=knn_stride, use_pallas=use_pallas, knn_impl=knn_impl,
     )
     aff = _blend_inverse_affine(
         closest_cols, f_id, verts, T, topology, differentiable=True

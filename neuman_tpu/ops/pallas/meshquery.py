@@ -50,7 +50,8 @@ def _lane_tile(num_cands, n):
     return tn
 
 
-def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands):
+def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands,
+            stride=1):
     """Coordinate-major candidate phase: every op runs on [C, TN] blocks.
 
     The first version looped over candidates with [1, TN] row slices — one
@@ -58,69 +59,92 @@ def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands):
     VPU-utilization tax (measured 4.8 ms/query at N=196k, C=24; this
     layout: ~8x less VPU work). rows_ref is [9*C, TN] with row j*C + ci =
     coordinate j of candidate ci, so each coordinate plane rows[j*C:(j+1)*C]
-    is one aligned [C, TN] sublane block (C padded to 8 host-side)."""
+    is one aligned [C, TN] sublane block (C padded to 8 host-side).
+
+    GROUP-AWARE (stride > 1): each lane holds a group-KNN GROUP of `stride`
+    consecutive query points (p_ref rows 3m..3m+2 = member m's xyz) sharing
+    one candidate set, so the candidate corner planes are fetched from HBM
+    once per group instead of lane-repeated `stride`x host-side (the repeat
+    materialized 170 MB per query at N=196k, C=24, stride=4 — measured
+    ~2.4 ms of a 4.0 ms prep). The Ericson region test runs once per member
+    on the SAME [C, TN] corner planes."""
     c_ = num_cands
     rows = rows_ref[:]  # [9*C, TN]
     coord = lambda j: rows[j * c_ : (j + 1) * c_]  # [C, TN]
     a = (coord(0), coord(1), coord(2))
     b = (coord(3), coord(4), coord(5))
     c = (coord(6), coord(7), coord(8))
-    p = (p_ref[0:1, :], p_ref[1:2, :], p_ref[2:3, :])  # [1, TN] broadcasts
-
-    cp = closest_point_on_triangles_planar(p, a, b, c)  # [C, TN] each
     fid = cand_ref[:]  # [C, TN] int32, -1 invalid
-    d2 = sum((cp[i] - p[i]) ** 2 for i in range(3))
-    d2 = jnp.where(fid >= 0, d2, jnp.inf)
+    ci = jax.lax.broadcasted_iota(jnp.int32, fid.shape, 0)
+    for m in range(stride):
+        p = (
+            p_ref[3 * m : 3 * m + 1, :],
+            p_ref[3 * m + 1 : 3 * m + 2, :],
+            p_ref[3 * m + 2 : 3 * m + 3, :],
+        )  # [1, TN] broadcasts
 
-    best_d2 = jnp.min(d2, axis=0, keepdims=True)  # [1, TN]
-    # earliest-candidate tie-break (== the sequential argmin): among rows
-    # attaining the min, pick the smallest candidate index
-    ci = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-    pri = jnp.where(d2 == best_d2, ci, num_cands)
-    sel = jnp.min(pri, axis=0, keepdims=True)
-    m = pri == sel  # exactly one true row per lane (ci are distinct)
+        cp = closest_point_on_triangles_planar(p, a, b, c)  # [C, TN] each
+        d2 = sum((cp[i] - p[i]) ** 2 for i in range(3))
+        d2 = jnp.where(fid >= 0, d2, jnp.inf)
 
-    outf_ref[0:1, :] = best_d2
-    for i in range(3):
-        outf_ref[1 + i : 2 + i, :] = jnp.sum(
-            jnp.where(m, cp[i], 0.0), axis=0, keepdims=True
+        best_d2 = jnp.min(d2, axis=0, keepdims=True)  # [1, TN]
+        # earliest-candidate tie-break (== the sequential argmin): among
+        # rows attaining the min, pick the smallest candidate index
+        pri = jnp.where(d2 == best_d2, ci, num_cands)
+        sel = jnp.min(pri, axis=0, keepdims=True)
+        msk = pri == sel  # exactly one true row per lane (ci distinct)
+
+        outf_ref[4 * m : 4 * m + 1, :] = best_d2
+        for i in range(3):
+            outf_ref[4 * m + 1 + i : 4 * m + 2 + i, :] = jnp.sum(
+                jnp.where(msk, cp[i], 0.0), axis=0, keepdims=True
+            )
+        outi_ref[m : m + 1, :] = jnp.sum(
+            jnp.where(msk, jnp.maximum(fid, 0), 0), axis=0, keepdims=True
         )
-    outi_ref[:] = jnp.sum(
-        jnp.where(m, jnp.maximum(fid, 0), 0), axis=0, keepdims=True
-    )
 
 
-def _ericson_select_impl(p3, rows9, cand, interpret):
+def _ericson_select_impl(p3, rows9, cand, interpret, stride):
     n = p3.shape[1]
+    assert n % stride == 0, (n, stride)
+    nq = n // stride
     num_cands = cand.shape[0]
-    assert rows9.shape[0] == num_cands * 9, (rows9.shape, num_cands)
+    assert rows9.shape == (num_cands * 9, nq), (rows9.shape, num_cands, nq)
+    assert cand.shape[1] == nq
     # pad the candidate axis to 8 sublanes so every [C, TN] coordinate
     # plane the kernel slices is sublane-aligned
     c_pad = (-num_cands) % 8
     if c_pad:
         rows9 = jnp.pad(
-            rows9.reshape(9, num_cands, n), ((0, 0), (0, c_pad), (0, 0))
-        ).reshape(9 * (num_cands + c_pad), n)
+            rows9.reshape(9, num_cands, nq), ((0, 0), (0, c_pad), (0, 0))
+        ).reshape(9 * (num_cands + c_pad), nq)
         cand = jnp.pad(cand, ((0, c_pad), (0, 0)), constant_values=-1)
         num_cands += c_pad
-    tn = _lane_tile(num_cands, n)
-    pad = (-n) % tn
+    # group the query points: lane g holds group g's `stride` members in
+    # sublanes (row 3*m + j = coordinate j of member m)
+    p3g = (
+        p3.reshape(3, nq, stride).transpose(2, 0, 1).reshape(3 * stride, nq)
+    )
+    tn = _lane_tile(num_cands, nq)
+    pad = (-nq) % tn
     if pad:
-        p3 = jnp.pad(p3, ((0, 0), (0, pad)), mode="edge")
+        p3g = jnp.pad(p3g, ((0, 0), (0, pad)), mode="edge")
         rows9 = jnp.pad(rows9, ((0, 0), (0, pad)), mode="edge")
         cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
     # padded lanes: edge-pad keeps >=1 valid candidate so no inf/0 garbage
     cand = jnp.where(
-        jnp.arange(cand.shape[1])[None, :] < n, cand,
+        jnp.arange(cand.shape[1])[None, :] < nq, cand,
         jnp.where(jnp.arange(num_cands)[:, None] == 0, 0, -1),
     )
-    n_pad = n + pad
-    grid = (n_pad // tn,)
+    nq_pad = nq + pad
+    grid = (nq_pad // tn,)
     outf, outi = pl.pallas_call(
-        functools.partial(_kernel, num_cands=num_cands),
+        functools.partial(_kernel, num_cands=num_cands, stride=stride),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3 * stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (num_cands * 9, tn), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
@@ -129,47 +153,59 @@ def _ericson_select_impl(p3, rows9, cand, interpret):
             ),
         ],
         out_specs=[
-            pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4 * stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((4 * stride, nq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((stride, nq_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(p3, rows9, cand)
+    )(p3g, rows9, cand)
+    # ungroup: row 4*m + c of lane g is (channel c, point g*stride + m)
+    outf = (
+        outf.reshape(stride, 4, nq_pad)
+        .transpose(1, 2, 0)
+        .reshape(4, nq_pad * stride)
+    )
+    outi = outi.T.reshape(1, nq_pad * stride)
     d2 = outf[0, :n]
     cp = (outf[1, :n], outf[2, :n], outf[3, :n])
     f_id = outi[0, :n]
     return d2, f_id, cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def ericson_select_pallas(p3, rows9, cand, interpret=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ericson_select_pallas(p3, rows9, cand, interpret=None, stride=1):
     """Closest point over per-point candidate triangles, fused on TPU.
 
-    p3: [3, N] query point coordinate rows; rows9: [9*C, N]
-    COORDINATE-MAJOR packed candidate corners — row j*C + ci holds
-    coordinate j (ax ay az bx by bz cx cy cz) of candidate ci, so each
-    coordinate plane is one contiguous [C, N] sublane block (see
-    mesh_ops.ericson_rows9 for the builder); cand: [C, N] int32 candidate
-    face ids, -1 = invalid. Returns (d2 [N], f_id [N] int32, closest
-    (x, y, z) of [N]).
+    p3: [3, N] query point coordinate rows; rows9: [9*C, N//stride]
+    COORDINATE-MAJOR packed candidate corners AT THE GROUP-KNN STRIDE —
+    row j*C + ci holds coordinate j (ax ay az bx by bz cx cy cz) of
+    candidate ci for each group of `stride` consecutive points (see
+    mesh_ops.point_mesh_closest_planar for the builder); cand:
+    [C, N//stride] int32 candidate face ids, -1 = invalid. The kernel
+    expands groups internally (no host-side lane repeat). Returns
+    (d2 [N], f_id [N] int32, closest (x, y, z) of [N]).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _ericson_select_impl(p3, rows9, cand, interpret)
+    return _ericson_select_impl(p3, rows9, cand, interpret, stride)
 
 
-def _fwd(p3, rows9, cand, interpret):
+def _fwd(p3, rows9, cand, interpret, stride):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    out = _ericson_select_impl(p3, rows9, cand, interpret)
+    out = _ericson_select_impl(p3, rows9, cand, interpret, stride)
     d2, f_id, cp = out
     return out, (p3, cp)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, stride, res, g):
     p3, cp = res
     g_d2, _, _ = g  # closest point / face choice: no gradient (ref parity)
     gp = jnp.stack(

@@ -5,11 +5,13 @@ against (a) 2D keypoint reprojection (COCO->SMPL joint mapping) and (b) the
 detected human silhouette, with DensePose-gated gradients and joint-angle
 limits.
 
-Silhouette term: the reference uses pytorch3d's SoftSilhouetteShader; here a
-JAX soft point-splat silhouette — per-vertex anisotropic Gaussians projected
-to image space, composited with a product-of-transparencies — which is
-differentiable w.r.t. vertex positions and serves the same coverage-matching
-objective (documented divergence: soft splat vs face rasterization).
+Silhouette term: the reference uses pytorch3d's SoftSilhouetteShader
+(optimize_smpl.py:84-102). The default here is the matching soft FACE
+rasterizer (preprocess/soft_raster.py — per-face sigmoid of the signed
+squared pixel-to-boundary distance in NDC, product-of-transparency blend,
+BlendParams(sigma=1e-4) semantics), so the silhouette objective is the
+reference's, not an approximation. A cheaper per-vertex Gaussian point-splat
+(`sil_impl="splat"`) is kept as an option for very dense meshes.
 """
 
 import numpy as np
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from neuman_tpu.models import smpl as smpl_module
+from neuman_tpu.preprocess.soft_raster import soft_rasterize_silhouette
 
 
 def coco_to_smpl(coco2d):
@@ -131,9 +134,15 @@ def soft_silhouette(verts_img, z, h, w, sigma=2.0, stride=4):
 
 def optimize_smpl_frame(
     cap, smpl_frame, body_model, align, scale, num_iters=100, lr=5e-3,
-    sil_stride=4, sil_weight=1.0,
+    sil_stride=4, sil_weight=1.0, sil_impl="face", sil_sigma=None,
 ):
-    """Refine one frame's pose (ref: optimize_smpl.py:196-262)."""
+    """Refine one frame's pose (ref: optimize_smpl.py:196-262).
+
+    sil_impl: "face" (default) = soft face rasterizer, the reference's
+    SoftSilhouetteShader objective; "splat" = per-vertex Gaussian splat.
+    sil_sigma: blend sharpness; None = the impl's default (1e-4 NDC^2 for
+    "face" matching pytorch3d BlendParams, 2.0 px for "splat").
+    """
     pose0 = jnp.asarray(smpl_frame["pose"], dtype=jnp.float32)
     betas = jnp.asarray(smpl_frame["betas"], dtype=jnp.float32)
     align_j = jnp.asarray(align, dtype=jnp.float32)
@@ -155,6 +164,7 @@ def optimize_smpl_frame(
         turn_smpl_gradient_on(cap.densepose).astype(np.float32)
     )
     limits = jnp.asarray(clip_smpl_vals().astype(np.float32))
+    faces = jnp.asarray(np.asarray(body_model.faces), dtype=jnp.int32)
 
     def project(pts):
         cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
@@ -169,7 +179,18 @@ def optimize_smpl_frame(
             / jnp.maximum(joints_mask.sum() * 2, 1.0)
         )
         vi, vz = project(verts)
-        sil = soft_silhouette(vi, vz, h, w, stride=sil_stride)
+        if sil_impl == "face":
+            sil = soft_rasterize_silhouette(
+                vi, faces, h, w,
+                sigma=1e-4 if sil_sigma is None else sil_sigma,
+                stride=sil_stride,
+            )
+        else:
+            sil = soft_silhouette(
+                vi, vz, h, w,
+                sigma=2.0 if sil_sigma is None else sil_sigma,
+                stride=sil_stride,
+            )
         sil_loss = jnp.mean((sil - mask_target) ** 2)
         return kp_loss + sil_weight * sil_loss
 

@@ -653,9 +653,13 @@ def render_hybrid_nerf_multi_persons(
                 1.0, compute_dtype, use_pallas=use_pallas,
                 knn_stride=knn_stride,
             )
-            dummy_z = (
-                jnp.linspace(2.0, 3.0, samples_per_ray)[None] * bkg_far[..., :1]
-            )
+            # Dummy fill for miss rays must sit effectively at infinity:
+            # anything merely past `far` would truncate the last REAL
+            # sample's 1e10 delta in integrate_planar and bleed white
+            # background into every miss ray (caught by the gathering
+            # composite gate: composite-vs-bkg-only delta 0.18 outside
+            # the actors before this fix).
+            dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * 1e8
             h_z = jnp.where(hit[:, None], h_z, dummy_z)
             h_sg = jnp.where(hit[:, None], h_sg, -1e9)
             z_list.append(h_z)

@@ -451,11 +451,23 @@ def make_human_loss_fn(spec, opt, ctx):
     # bench/driver fallback when a Mosaic kernel regresses); None keeps the
     # backend default inside the mesh ops.
     mesh_up = None if getattr(opt, "use_pallas", False) else False
-    warp_ckpt = jax.checkpoint(
-        lambda flat, v, t: mesh_ops.warp_points_to_canonical_diff(
-            flat, v, t, topo, k=knn_k, knn_stride=knn_stride,
-            use_pallas=mesh_up,
-        )
+    # bucketed streaming KNN (Pallas): ~0.8 ms faster per query than
+    # approx_max_k at the training shape AND the [Nq, V] distance matrix
+    # never touches HBM; only on the Pallas path (it IS a Mosaic kernel,
+    # so the use_pallas=False fallback must avoid it too)
+    mesh_impl = "bucketed" if getattr(opt, "use_pallas", False) else None
+    _warp = lambda flat, v, t: mesh_ops.warp_points_to_canonical_diff(
+        flat, v, t, topo, k=knn_k, knn_stride=knn_stride,
+        use_pallas=mesh_up, knn_impl=mesh_impl,
+    )
+    # jax.checkpoint re-runs the whole mesh query in the backward (measured
+    # 20.4 ms fwd+bwd vs 11.2 without, tools/bench_step_parts.py warpbwd).
+    # On the Pallas path the Ericson kernel's custom VJP saves only
+    # (p3, closest) — ~4.7 MB at N=196k — so there is nothing worth
+    # rematerializing; keep the checkpoint only for the XLA path, whose
+    # no-ckpt residuals include the [C, 16, N] candidate rows (~300 MB).
+    warp_ckpt = (
+        _warp if getattr(opt, "use_pallas", False) else jax.checkpoint(_warp)
     )
     if getattr(opt, "use_pallas", False):
         # custom-VJP Pallas pair: fwd + recompute-in-VMEM bwd. Activations
@@ -632,6 +644,7 @@ def make_human_loss_fn(spec, opt, ctx):
         sd, _, _ = mesh_ops.signed_distance(
             jax.lax.stop_gradient(flat), can_verts, topo, k=knn_k,
             knn_stride=knn_stride, tables=tables, use_pallas=mesh_up,
+            knn_impl=mesh_impl,
         )
         inside = (sd < 0).astype(jnp.float32)
         occ = 1.0 - jnp.exp(-jax.nn.relu(sg.reshape(-1)))
@@ -640,7 +653,7 @@ def make_human_loss_fn(spec, opt, ctx):
         dummy_flat = jnp.stack([p.reshape(-1) for p in d_planes], axis=-1)
         sd_d, _, _ = mesh_ops.signed_distance(
             dummy_flat, can_verts, topo, k=knn_k, knn_stride=knn_stride,
-            tables=tables, use_pallas=mesh_up,
+            tables=tables, use_pallas=mesh_up, knn_impl=mesh_impl,
         )
         sd_d = jax.lax.stop_gradient(sd_d)
         d_inside = (sd_d < 0).astype(jnp.float32)

@@ -549,3 +549,82 @@ def test_point_mesh_closest_use_pallas_flag():
         pts, verts, topo, k=4, use_pallas=True
     )
     np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x), atol=1e-5)
+
+
+def test_pallas_grouped_kernel_matches_unstrided_path():
+    """The GROUP-AWARE kernel (stride > 1: one candidate set shared by each
+    group of consecutive points, expanded inside the kernel) must agree
+    with running the stride=1 kernel on host-side lane-repeated candidates
+    — the exact layout it replaced. Also checks the full
+    point_mesh_closest_planar(use_pallas=True, knn_stride=4) path against
+    the XLA path at the same stride."""
+    from neuman_tpu.ops.pallas.meshquery import ericson_select_pallas
+    from neuman_tpu.utils.synthetic_body import (
+        sample_query_points,
+        synthetic_body_mesh,
+    )
+
+    verts_np, faces_np = synthetic_body_mesh(subdivisions=2)
+    topo = mesh_ops.MeshTopology.build(faces_np, verts_np.shape[0])
+    verts = jnp.asarray(verts_np)
+    stride, k = 4, 4
+    n = 320
+    pts = jnp.asarray(sample_query_points(verts_np, n, seed=6))
+
+    inc_width = topo.incidence.shape[1]
+    q = pts.reshape(n // stride, stride, 3)[:, stride // 2]
+    _, knn_idx = jax.lax.top_k(
+        -(
+            jnp.sum(q**2, -1)[:, None]
+            + jnp.sum(verts**2, -1)[None, :]
+            - 2.0 * q @ verts.T
+        ),
+        k,
+    )
+    nq, c = q.shape[0], k * inc_width
+    cand_s = topo.incidence[knn_idx].reshape(nq, -1)  # [Nq, C]
+    tri9 = mesh_ops._packed_face_table(verts, topo.faces)
+    vtab9 = tri9[jnp.maximum(topo.incidence, 0)].reshape(
+        verts.shape[0], inc_width * 9
+    )
+    rows9_s = (
+        vtab9[knn_idx].reshape(nq, c, 9).transpose(2, 1, 0).reshape(9 * c, nq)
+    )
+
+    # grouped kernel at stride=4
+    d2_g, f_g, cp_g = ericson_select_pallas(
+        pts.T, rows9_s, cand_s.T, True, stride
+    )
+    # stride=1 kernel on host-side repeated candidates (the old layout)
+    rows9_rep = jnp.repeat(rows9_s, stride, axis=1)
+    cand_rep = jnp.repeat(cand_s.T, stride, axis=1)
+    d2_r, f_r, cp_r = ericson_select_pallas(
+        pts.T, rows9_rep, cand_rep, True, 1
+    )
+    np.testing.assert_allclose(np.asarray(d2_g), np.asarray(d2_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_g), np.asarray(f_r))
+    for a, b in zip(cp_g, cp_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # full entry point: pallas (interpret) vs XLA at the same stride
+    d2_p, _, cp_p = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=k, knn_stride=stride, use_pallas=True
+    )
+    d2_x, _, cp_x = mesh_ops.point_mesh_closest_planar(
+        pts, verts, topo, k=k, knn_stride=stride, use_pallas=False
+    )
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_x), atol=1e-6)
+    for a, b in zip(cp_p, cp_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # gradient parity at stride > 1: envelope theorem through the grouped
+    # kernel must match the XLA select's gradient
+    def loss(p, up):
+        d2, _, _ = mesh_ops.point_mesh_closest_planar(
+            p, verts, topo, k=k, knn_stride=stride, use_pallas=up
+        )
+        return jnp.sum(d2 * jnp.arange(1.0, n + 1.0))
+
+    g_p = jax.grad(lambda p: loss(p, True))(pts)
+    g_x = jax.grad(lambda p: loss(p, False))(pts)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4)

@@ -76,6 +76,31 @@ def sweep_ericson(failures, quick):
             assert np.isfinite(float(jnp.sum(d2)))
 
         _case(f"ericson_select C={c} N={n}", run, failures)
+    # grouped (stride > 1) kernel: the training/render paths run this
+    # layout by default via point_mesh_closest_planar(knn_stride=4); sweep
+    # the same C corners plus stride corners 4 and 8
+    g_cases = [(24, 4, 196608), (48, 4, 262144), (72, 4, 262144),
+               (24, 8, 196608)]
+    if quick:
+        g_cases = [(48, 4, 262144)]
+    for c, st, n in g_cases:
+        def run_g(c=c, st=st, n=n):
+            nq = n // st
+            p3 = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+            rows9 = jnp.asarray(
+                rng.normal(size=(9 * c, nq)).astype(np.float32)
+            )
+            cand = jnp.asarray(
+                rng.integers(0, 100, size=(c, nq)).astype(np.int32)
+            )
+            d2, f_id, cp = jax.jit(
+                lambda p, r, cd: ericson_select_pallas(p, r, cd, stride=st)
+            )(p3, rows9, cand)
+            assert np.isfinite(float(jnp.sum(d2)))
+
+        _case(f"ericson_select grouped C={c} stride={st} N={n}", run_g,
+              failures)
+
     # gradient path (the training warp differentiates d2 w.r.t. points)
     def run_grad():
         c, n = 24, 196608
@@ -87,8 +112,25 @@ def sweep_ericson(failures, quick):
         )(p3)
         assert np.isfinite(float(jnp.sum(g)))
 
+    def run_grad_grouped():
+        c, st, n = 24, 4, 196608
+        nq = n // st
+        p3 = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+        rows9 = jnp.asarray(rng.normal(size=(9 * c, nq)).astype(np.float32))
+        cand = jnp.asarray(rng.integers(0, 100, size=(c, nq)).astype(np.int32))
+        g = jax.jit(
+            jax.grad(
+                lambda p: jnp.sum(
+                    ericson_select_pallas(p, rows9, cand, stride=st)[0]
+                )
+            )
+        )(p3)
+        assert np.isfinite(float(jnp.sum(g)))
+
     if not quick:
         _case("ericson_select grad C=24 N=196608", run_grad, failures)
+        _case("ericson_select grouped grad C=24 stride=4", run_grad_grouped,
+              failures)
 
 
 def sweep_bucketed_knn(failures, quick):
