@@ -36,13 +36,22 @@ _LANE_TILE = 2048
 # 10 MB — conservative vs the 16 MB scoped limit — so C=24 (training,
 # k=4 x incidence 6) keeps tn=2048 while C=48 (render CLIs, k=8) drops to
 # 1024 and C=72 (real SMPL, deg 9, k=8) to 512 instead of OOMing.
-_VMEM_BUDGET = 10 * 2**20
+# 10.5 MB: still conservative vs the 16 MB scoped limit, with the extra
+# 0.5 MB absorbing the group-KNN IO surcharge (8*stride [1, tn] planes,
+# see _lane_tile) without shrinking any previously-validated tile choice
+# (C=24 -> 2048, C=48 -> 1024, C=72 -> 512, at any stride <= 8).
+_VMEM_BUDGET = 10 * 2**20 + 2**19
 _VMEM_PLANES = 52
 
 
-def _lane_tile(num_cands, n):
+def _lane_tile(num_cands, n, stride=1):
+    # stride > 1 (group-KNN) grows the point block to [3*stride, tn] and
+    # the outputs to [5*stride, tn], and the unrolled per-member loop can
+    # extend temporary liveness — charge ~8 extra [1, tn] planes per member
+    # on top of the [C, tn] estimate so grouped corners keep headroom.
+    planes = _VMEM_PLANES * num_cands + 8 * stride
     tn = _LANE_TILE
-    while tn > 128 and _VMEM_PLANES * num_cands * tn * 4 > _VMEM_BUDGET:
+    while tn > 128 and planes * tn * 4 > _VMEM_BUDGET:
         tn //= 2
     if n < tn:
         # one lane-aligned tile covering all points
@@ -125,7 +134,7 @@ def _ericson_select_impl(p3, rows9, cand, interpret, stride):
     p3g = (
         p3.reshape(3, nq, stride).transpose(2, 0, 1).reshape(3 * stride, nq)
     )
-    tn = _lane_tile(num_cands, nq)
+    tn = _lane_tile(num_cands, nq, stride=stride)
     pad = (-nq) % tn
     if pad:
         p3g = jnp.pad(p3g, ((0, 0), (0, pad)), mode="edge")

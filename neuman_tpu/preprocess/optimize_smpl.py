@@ -184,6 +184,7 @@ def optimize_smpl_frame(
                 vi, faces, h, w,
                 sigma=1e-4 if sil_sigma is None else sil_sigma,
                 stride=sil_stride,
+                vert_z=vz,
             )
         else:
             sil = soft_silhouette(

@@ -13,13 +13,21 @@ module is that shader in JAX:
   - per-face coverage prob = sigmoid(-signed_d2 / sigma);
   - alpha = 1 - prod(1 - prob), accumulated in LOG space over faces with
     log(1 - sigmoid(x)) = -softplus(x) (exact, no clipping);
-  - faces are processed in lax.scan chunks so memory is O(P * chunk), not
-    O(P * F).
+  - faces are processed in lax.scan chunks, and the chunk body is wrapped
+    in jax.checkpoint, so memory is O(P * chunk) in BOTH directions: the
+    backward pass recomputes each chunk's [P, FC] intermediates instead of
+    storing per-iteration residuals (without the checkpoint, reverse-mode
+    through the scan saves every chunk's sd2/term and backward memory is
+    O(P * F) — multiple GB at real preprocessing scale).
 
 Differences vs pytorch3d, both conservative: no blur_radius cutoff and no
 faces_per_pixel=100 cap — every face contributes its exact term (the
 reference's cutoff zeroes contributions that are <= 1e-4 anyway), and
-back-facing triangles are kept (silhouette is orientation-free).
+back-facing triangles are kept (silhouette is orientation-free). Like
+pytorch3d's znear culling, faces with any vertex at or behind the camera
+plane are dropped when `vert_z` is given (projection through z <= 0 flips
+or explodes the 2D coords, which would silently corrupt the silhouette
+and its gradients).
 
 TPU notes: everything is [P, FC]-shaped elementwise math (VPU), static
 shapes, one scan carry of [P]; jit/grad-safe.
@@ -72,13 +80,16 @@ def _signed_d2_to_triangles(px, py, tri):
     jax.jit, static_argnames=("h", "w", "stride", "face_chunk")
 )
 def soft_rasterize_silhouette(
-    verts_img, faces, h, w, sigma=1e-4, stride=4, face_chunk=512
+    verts_img, faces, h, w, sigma=1e-4, stride=4, face_chunk=512,
+    vert_z=None, znear=1e-4,
 ):
     """Soft face-rasterized silhouette, differentiable w.r.t. verts_img.
 
     verts_img: [V, 2] projected vertex pixel coords; faces: [F, 3] int32
     (rows of -1 = padding, ignored); sigma: blend sharpness in squared NDC
     units (pytorch3d BlendParams(sigma=1e-4), with NDC scale 2/min(h, w));
+    vert_z: optional [V] camera-space depths — faces with any vertex at
+    z < znear are culled (their projected coords are meaningless);
     returns [ceil(h/stride), ceil(w/stride)] alpha in [0, 1).
     """
     gh = (h + stride - 1) // stride
@@ -96,6 +107,11 @@ def soft_rasterize_silhouette(
     pad = (-f) % face_chunk
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)), constant_values=-1)
     valid = faces_p[:, 0] >= 0
+    if vert_z is not None:
+        # znear culling: a face with any vertex at/behind the camera plane
+        # projected through z <= 0, so its 2D coords are garbage — drop it.
+        face_z = vert_z[jnp.maximum(faces_p, 0)]  # [F+pad, 3]
+        valid = valid & jnp.all(face_z >= znear, axis=1)
     tris = verts_img[jnp.maximum(faces_p, 0)]  # [F+pad, 3, 2]
     n_chunks = tris.shape[0] // face_chunk
     tris = tris.reshape(n_chunks, face_chunk, 3, 2)
@@ -105,6 +121,10 @@ def soft_rasterize_silhouette(
     # the short image side spans [-1, 1])
     ndc2 = (2.0 / min(h, w)) ** 2
 
+    # checkpoint: without it, reverse-mode through the scan stores every
+    # chunk's [P, FC] sd2/term residuals (O(P*F) backward memory — GBs at
+    # 720p x 13k faces); with it, each chunk recomputes them in backward.
+    @jax.checkpoint
     def body(log_tr, chunk):
         tri, ok = chunk
         sd2 = _signed_d2_to_triangles(px, py, tri) * ndc2  # [P, FC]

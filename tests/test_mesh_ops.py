@@ -508,9 +508,14 @@ def test_lane_tile_vmem_budget():
 
     assert _lane_tile(24, 10**6) == 2048
     for c in (24, 48, 72, 80):
-        tn = _lane_tile(c, 10**6)
-        assert tn >= 128 and tn % 128 == 0
-        assert _VMEM_PLANES * c * tn * 4 <= _VMEM_BUDGET, (c, tn)
+        for stride in (1, 4, 8):
+            tn = _lane_tile(c, 10**6, stride=stride)
+            assert tn >= 128 and tn % 128 == 0
+            assert (_VMEM_PLANES * c + 8 * stride) * tn * 4 <= _VMEM_BUDGET, (
+                c, stride, tn,
+            )
+    # the stride surcharge must not shrink the training tile (C=24, k=4)
+    assert _lane_tile(24, 10**6, stride=8) == 2048
     # small-N: one lane-aligned tile covering all points
     assert _lane_tile(24, 100) == 128
     assert _lane_tile(48, 3000) % 128 == 0

@@ -382,3 +382,46 @@ def test_soft_face_rasterizer_matches_hard_mask_and_is_differentiable():
     l1 = float(loss(off0 - 2.0 * g / (jnp.linalg.norm(g) + 1e-12)))
     print(f"face-raster grad step: loss {l0:.5f} -> {l1:.5f}, grad {np.asarray(g)}")
     assert l1 < l0
+
+
+def test_soft_face_rasterizer_znear_culls_behind_camera_faces():
+    """Faces with a vertex at/behind the camera plane project to garbage
+    2D coords (pytorch3d culls them at znear); with vert_z given they must
+    contribute nothing — to the silhouette OR its gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuman_tpu.preprocess.soft_raster import soft_rasterize_silhouette
+
+    # one valid in-frustum triangle + one "exploded" triangle whose verts
+    # came from projecting through z <= 0 (huge flipped coords covering
+    # the whole image)
+    verts = jnp.asarray(
+        [[10.0, 10.0], [30.0, 10.0], [20.0, 30.0],
+         [-900.0, -900.0], [900.0, -900.0], [0.0, 900.0]]
+    )
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    vert_z = jnp.asarray([2.0, 2.0, 2.0, -0.5, 0.0, -1.0])
+
+    clean = soft_rasterize_silhouette(verts[:3], faces[:1], 48, 64, stride=1)
+    culled = soft_rasterize_silhouette(
+        verts, faces, 48, 64, stride=1, vert_z=vert_z
+    )
+    np.testing.assert_allclose(
+        np.asarray(culled), np.asarray(clean), atol=1e-6
+    )
+    # without culling the garbage face floods the image
+    flooded = soft_rasterize_silhouette(verts, faces, 48, 64, stride=1)
+    assert float(jnp.mean(flooded)) > float(jnp.mean(clean)) + 0.1
+
+    # gradient w.r.t. the culled verts is exactly zero
+    def mean_alpha(v):
+        return jnp.mean(
+            soft_rasterize_silhouette(v, faces, 48, 64, stride=1,
+                                      vert_z=vert_z)
+        )
+
+    g = np.asarray(jax.grad(mean_alpha)(verts))
+    assert np.all(np.isfinite(g))
+    assert np.abs(g[3:]).max() == 0.0
+    assert np.abs(g[:3]).max() > 0.0
