@@ -16,8 +16,28 @@ TPU-first reformulation of the reference renderers
 
 Entry points mirror the reference API: render_vanilla, render_smpl_nerf,
 render_hybrid_nerf, render_hybrid_nerf_multi_persons.
+
+Dispatch protocols (the `dispatch` argument on every entry point):
+
+- "loop" — one host dispatch per ray chunk (the round-1..4 behavior).
+  Through the axon tunnel each dispatch pays ~30-85 ms of latency; a 720p
+  frame at 4096-ray chunks re-pays it ~225 times.
+- "scan" — the whole frame's chunks are stacked [n_chunks, chunk, ...] and
+  the chunk function runs under `lax.map` inside ONE jit: one dispatch per
+  frame, chunks run back-to-back on chip.
+- "compact" (default for the planar human paths) — the TPU analog of the
+  reference's boolean-mask short-circuit (render_utils.py:300-353, which
+  skips the human branch for rays that miss the SMPL bounds): a cheap
+  whole-frame near/far pass (one matmul per chunk) computes the hit mask,
+  the expensive human branch (mesh-query warp + canonical MLP + z-merge)
+  runs ONLY on hit rays gathered into dense chunks (padded to a power-of-2
+  chunk count to bound recompiles), and miss rays take a bkg-only pass
+  that is bit-identical to the hybrid chunk's bkg branch (all per-ray math
+  is row-independent, so compact == loop exactly; tested). A frame whose
+  human covers ~20% of pixels skips ~80% of the dominant branch.
 """
 
+import warnings
 from functools import partial
 
 import numpy as np
@@ -45,6 +65,15 @@ def _cap_rays(cap):
     return origins, dirs
 
 
+def _warn_unsharded(chunk, mesh):
+    warnings.warn(
+        f"render: chunk size {chunk} is not divisible by the mesh size "
+        f"{mesh.devices.size}; rendering UNSHARDED on one device. Pick "
+        "rays_per_batch as a multiple of the device count to parallelize.",
+        stacklevel=3,
+    )
+
+
 def _chunked(fn, arrays, total, chunk, mesh=None, data_axis="data"):
     """Apply jitted `fn` over fixed-size chunks (last chunk zero-padded).
 
@@ -54,9 +83,12 @@ def _chunked(fn, arrays, total, chunk, mesh=None, data_axis="data"):
     """
     sharding = None
     if mesh is not None:
-        from neuman_tpu.parallel.mesh import row_sharded
+        if chunk % mesh.devices.size != 0:
+            _warn_unsharded(chunk, mesh)
+        else:
+            from neuman_tpu.parallel.mesh import row_sharded
 
-        sharding = row_sharded(mesh, data_axis)
+            sharding = row_sharded(mesh, data_axis)
     outs = []
     for i in range(0, total, chunk):
         sl = []
@@ -67,7 +99,7 @@ def _chunked(fn, arrays, total, chunk, mesh=None, data_axis="data"):
                 piece = jnp.concatenate(
                     [piece, jnp.repeat(piece[-1:], pad, axis=0)], axis=0
                 )
-            if sharding is not None and piece.shape[0] % mesh.devices.size == 0:
+            if sharding is not None:
                 piece = jax.device_put(piece, sharding)
             sl.append(piece)
         outs.append(fn(*sl))
@@ -75,6 +107,54 @@ def _chunked(fn, arrays, total, chunk, mesh=None, data_axis="data"):
         jnp.concatenate([o[j] for o in outs], axis=0)[:total]
         for j in range(len(outs[0]))
     ]
+
+
+def _stack_chunks(arrays, total, chunk):
+    """Pad (edge rows) and reshape flat ray arrays to [n_chunks, chunk, ...]."""
+    pad = (-total) % chunk
+    out = []
+    for a in arrays:
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+        out.append(a.reshape(-1, chunk, *a.shape[1:]))
+    return out
+
+
+def _maybe_shard_stacked(arrays, mesh, chunk, data_axis="data"):
+    """Row-shard each stacked chunk's ray axis (axis 1) over the mesh."""
+    if mesh is None:
+        return arrays
+    if chunk % mesh.devices.size != 0:
+        _warn_unsharded(chunk, mesh)
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, data_axis))
+    return [jax.device_put(a, sh) for a in arrays]
+
+
+def _unstack(stacked, total):
+    """[n_chunks, chunk, ...] device output -> [total, ...] numpy (writable
+    copy: compact dispatch scatters hit-ray results into it)."""
+    a = np.array(stacked)
+    return a.reshape(-1, *a.shape[2:])[:total]
+
+
+def _pow2_hit_chunks(idx, chunk, total):
+    """Pad hit-ray indices to a bucketed number of chunks: buckets are
+    multiples of 1/8 of the frame's chunk count, so across a clip the
+    human pass compiles at most 8 shapes while padding waste stays under
+    12.5% of the frame (padding duplicates the last hit ray, whose
+    re-render is overwritten by itself)."""
+    frame_chunks = -(-total // chunk)
+    granule = max(1, -(-frame_chunks // 8))
+    nch = max(1, -(-idx.size // chunk))
+    nch = min(-(-nch // granule) * granule, frame_chunks)
+    padded = np.full(nch * chunk, idx[-1], dtype=np.int32)
+    padded[: idx.size] = idx
+    return padded
 
 
 # ---------------------------------------------------------------------------
@@ -121,11 +201,48 @@ def _vanilla_chunk(
     return rgb, depth
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "compute_dtype_name", "use_fine", "use_pallas",
+    ),
+)
+def _vanilla_frame_fused(
+    spec, coarse_params, fine_params, origins_st, dirs_st, near, far,
+    samples_per_ray, importance_samples_per_ray, white_bkg,
+    compute_dtype_name, use_fine, use_pallas,
+):
+    from neuman_tpu.ops.fused import fused_vanilla_render
+
+    if use_pallas:
+        from neuman_tpu.ops.pallas import raymarch
+
+        compute_dtype = (
+            jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+        )
+        chunk = raymarch.make_fused_render(
+            spec, samples_per_ray, importance_samples_per_ray,
+            compute_dtype=compute_dtype,
+        )
+        body_fn = lambda o, d: chunk(coarse_params, fine_params, o, d, near, far)
+    else:
+        body_fn = lambda o, d: fused_vanilla_render(
+            spec, coarse_params, fine_params, o, d, near, far,
+            samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+            use_fine=use_fine,
+        )
+    return jax.lax.map(lambda od: body_fn(*od), (origins_st, dirs_st))
+
+
 def render_vanilla(
     spec, coarse_params, cap, fine_params=None, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     near_far_source="bkg", return_depth=False, ablate_nerft=False,
     compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
+    dispatch="scan",
 ):
     origins, dirs = _cap_rays(cap)
     total = origins.shape[0]
@@ -142,31 +259,51 @@ def render_vanilla(
         # reference-shaped chunk below.
         from neuman_tpu.ops.fused import fused_vanilla_render
 
-        if use_pallas and fine_params is not None and white_bkg:
-            from neuman_tpu.ops.pallas import raymarch
-
-            compute_dtype = (
-                jnp.bfloat16 if compute_dtype_name == "bfloat16"
-                else jnp.float32
+        pallas_ok = use_pallas and fine_params is not None and white_bkg
+        if dispatch in ("scan", "compact"):
+            chunk = rays_per_batch
+            o_st, d_st = _maybe_shard_stacked(
+                _stack_chunks([origins, dirs], total, chunk), mesh, chunk
             )
-            chunk = raymarch.make_fused_render(
-                spec, samples_per_ray, importance_samples_per_ray,
-                compute_dtype=compute_dtype,
-            )
-            fn = jax.jit(lambda o, d: chunk(coarse_params, fine_params, o, d, near, far))
-        else:
-            fn = lambda o, d: fused_vanilla_render(
+            rgb_st, depth_st = _vanilla_frame_fused(
                 spec, coarse_params,
                 fine_params if fine_params is not None else coarse_params,
-                o, d, near, far,
+                o_st, d_st, near, far,
                 samples_per_ray=samples_per_ray,
                 importance_samples_per_ray=importance_samples_per_ray,
                 white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
-                use_fine=fine_params is not None,
+                use_fine=fine_params is not None, use_pallas=pallas_ok,
             )
-        rgb, depth = _chunked(
-            fn, [origins, dirs], total, rays_per_batch, mesh=mesh
-        )
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+        else:
+            if pallas_ok:
+                from neuman_tpu.ops.pallas import raymarch
+
+                compute_dtype = (
+                    jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                    else jnp.float32
+                )
+                pchunk = raymarch.make_fused_render(
+                    spec, samples_per_ray, importance_samples_per_ray,
+                    compute_dtype=compute_dtype,
+                )
+                fn = jax.jit(
+                    lambda o, d: pchunk(coarse_params, fine_params, o, d, near, far)
+                )
+            else:
+                fn = lambda o, d: fused_vanilla_render(
+                    spec, coarse_params,
+                    fine_params if fine_params is not None else coarse_params,
+                    o, d, near, far,
+                    samples_per_ray=samples_per_ray,
+                    importance_samples_per_ray=importance_samples_per_ray,
+                    white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+                    use_fine=fine_params is not None,
+                )
+            rgb, depth = _chunked(
+                fn, [origins, dirs], total, rays_per_batch, mesh=mesh
+            )
         rgb = np.asarray(rgb).reshape(*cap.shape, -1)
         depth = np.asarray(depth).reshape(*cap.shape)
         if return_depth:
@@ -269,6 +406,74 @@ def _human_branch_planar(
     return hit, z, sg, rgb_c
 
 
+def _bkg_branch_planar(
+    bkg_spec, coarse_params, fine_params, origins, dirs, bkg_near, bkg_far,
+    samples_per_ray, importance_samples_per_ray, white_bkg, compute_dtype,
+    use_pallas=False,
+):
+    """Background coarse -> importance -> fine, planar.
+
+    The single source of the hybrid renderers' background samples AND the
+    compact dispatch's bkg-only pass — extracting it guarantees miss rays
+    get bit-identical pixels on either path. Returns (f_z, f_sg 1x[R, S'],
+    f_rgb_c 3x[R, S'], dir_norm [R])."""
+    from neuman_tpu.ops import fused
+
+    d_ax = [dirs[:, a] for a in range(3)]
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)
+
+    def bkg_mlp(prm, planes):
+        if use_pallas:
+            from neuman_tpu.ops.pallas import raymarch
+
+            dirp = raymarch.dir_projection(bkg_spec, prm, dirs, compute_dtype)
+            return raymarch.nerf_mlp_pallas(
+                bkg_spec, prm, *planes, dirp, compute_dtype
+            )
+        return fused.mlp_planar(bkg_spec, prm, planes, d_ax, compute_dtype)
+
+    z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
+    planes = [origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)]
+    sg, rgb_c = bkg_mlp(coarse_params, planes)
+    _, _, _, w, _ = fused.integrate_planar(
+        sg, rgb_c, z, dir_norm, white_bkg=white_bkg
+    )
+    f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
+    planes = [origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
+    f_sg, f_rgb_c = bkg_mlp(fine_params, planes)
+    return f_z, f_sg, f_rgb_c, dir_norm
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "compute_dtype_name", "use_pallas",
+    ),
+)
+def _bkg_chunk_planar(
+    spec, params, origins, dirs, bkg_near, bkg_far, samples_per_ray,
+    importance_samples_per_ray, white_bkg, compute_dtype_name="bfloat16",
+    use_pallas=False,
+):
+    """Bkg-only pixels for the compact dispatch's miss rays — identical
+    math to _hybrid_chunk_planar's bkg_rgb/bkg_depth."""
+    from neuman_tpu.ops import fused
+
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
+    f_z, f_sg, f_rgb_c, dir_norm = _bkg_branch_planar(
+        spec.bkg, params["coarse_bkg_net"], params["fine_bkg_net"], origins,
+        dirs, bkg_near, bkg_far, samples_per_ray, importance_samples_per_ray,
+        white_bkg, compute_dtype, use_pallas=use_pallas,
+    )
+    rgb, _, _, _, depth = fused.integrate_planar(
+        f_sg, f_rgb_c, f_z, dir_norm, white_bkg=white_bkg
+    )
+    return rgb, depth
+
+
 # ---------------------------------------------------------------------------
 # human-only renderer (ref: render_utils.py:164-246)
 # ---------------------------------------------------------------------------
@@ -344,13 +549,40 @@ def _smpl_chunk_planar(
     return rgb, depth, acc
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "white_bkg", "render_can", "knn_k",
+        "compute_dtype_name", "use_pallas", "knn_stride",
+    ),
+)
+def _smpl_frame_planar(
+    spec, params, topology, origins_st, dirs_st, posed_verts, Ts,
+    geo_threshold, interval_comp, samples_per_ray, white_bkg, render_can,
+    knn_k, compute_dtype_name, use_pallas, knn_stride,
+):
+    def body(od):
+        o, d = od
+        return _smpl_chunk_planar(
+            spec, params, topology, o, d, posed_verts, Ts, geo_threshold,
+            interval_comp, samples_per_ray=samples_per_ray,
+            white_bkg=white_bkg, render_can=render_can, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
+        )
+
+    return jax.lax.map(body, (origins_st, dirs_st))
+
+
 def render_smpl_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, white_bkg=True, render_can=False,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_mask=False,
-    interval_comp=1.0, knn_k=8, planar=True, compute_dtype_name="bfloat16",
-    mesh=None, use_pallas=False, knn_stride=1,
+    interval_comp=1.0, knn_k=4, planar=True, compute_dtype_name="bfloat16",
+    mesh=None, use_pallas=False, knn_stride=1, dispatch="compact",
 ):
+    """Human-only frame (ref render_utils.py:164-246). knn_k=4 default:
+    see render_hybrid_nerf."""
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
                            num_verts=len(posed_verts))
@@ -361,25 +593,65 @@ def render_smpl_nerf(
         Ts = jnp.tile(jnp.eye(4)[None], (posed_verts.shape[0], 1, 1))
     else:
         Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
-    if planar:
-        fn = lambda o, d: _smpl_chunk_planar(
-            spec, params, topology, o, d, posed_verts, Ts,
-            jnp.float32(geo_threshold), jnp.float32(interval_comp),
+    geo_t = jnp.float32(geo_threshold)
+    icomp = jnp.float32(interval_comp)
+
+    if planar and dispatch in ("scan", "compact"):
+        chunk = rays_per_batch
+        o_st, d_st = _maybe_shard_stacked(
+            _stack_chunks([origins, dirs], total, chunk), mesh, chunk
+        )
+        frame = lambda ost, dst: _smpl_frame_planar(
+            spec, params, topology, ost, dst, posed_verts, Ts, geo_t, icomp,
             samples_per_ray=samples_per_ray, white_bkg=white_bkg,
             render_can=render_can, knn_k=knn_k,
             compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
             knn_stride=knn_stride,
         )
+        if dispatch == "scan":
+            rgb_st, depth_st, acc_st = frame(o_st, d_st)
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+            acc = _unstack(acc_st, total)
+        else:
+            # miss rays are constant miss_color / 0 depth / 0 acc — only
+            # the hit rays need the human branch at all
+            hit = _unstack(_hit_frame(o_st, d_st, posed_verts, geo_t), total)
+            miss_color = 1.0 if white_bkg else 0.0
+            rgb = np.full((total, 3), miss_color, np.float32)
+            depth = np.zeros(total, np.float32)
+            acc = np.zeros(total, np.float32)
+            idx = np.nonzero(hit)[0]
+            if idx.size:
+                padded = _pow2_hit_chunks(idx, chunk, total)
+                ho = jnp.take(origins, jnp.asarray(padded), axis=0)
+                hd = jnp.take(dirs, jnp.asarray(padded), axis=0)
+                ho_st, hd_st = _maybe_shard_stacked(
+                    [ho.reshape(-1, chunk, 3), hd.reshape(-1, chunk, 3)],
+                    mesh, chunk,
+                )
+                h_rgb, h_depth, h_acc = frame(ho_st, hd_st)
+                rgb[idx] = _unstack(h_rgb, padded.size)[: idx.size]
+                depth[idx] = _unstack(h_depth, padded.size)[: idx.size]
+                acc[idx] = _unstack(h_acc, padded.size)[: idx.size]
     else:
-        fn = lambda o, d: _smpl_chunk(
-            spec, params, topology, o, d, posed_verts, Ts,
-            jnp.float32(geo_threshold), jnp.float32(interval_comp),
-            samples_per_ray=samples_per_ray, white_bkg=white_bkg,
-            render_can=render_can, knn_k=knn_k,
+        if planar:
+            fn = lambda o, d: _smpl_chunk_planar(
+                spec, params, topology, o, d, posed_verts, Ts, geo_t, icomp,
+                samples_per_ray=samples_per_ray, white_bkg=white_bkg,
+                render_can=render_can, knn_k=knn_k,
+                compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+                knn_stride=knn_stride,
+            )
+        else:
+            fn = lambda o, d: _smpl_chunk(
+                spec, params, topology, o, d, posed_verts, Ts, geo_t, icomp,
+                samples_per_ray=samples_per_ray, white_bkg=white_bkg,
+                render_can=render_can, knn_k=knn_k,
+            )
+        rgb, depth, acc = _chunked(
+            fn, [origins, dirs], total, rays_per_batch, mesh=mesh
         )
-    rgb, depth, acc = _chunked(
-        fn, [origins, dirs], total, rays_per_batch, mesh=mesh
-    )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     acc = np.asarray(acc).reshape(*cap.shape)
@@ -474,29 +746,12 @@ def _hybrid_chunk_planar(
     compute_dtype = (
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
-    d_ax = [dirs[:, a] for a in range(3)]
-    dir_norm = jnp.linalg.norm(dirs, axis=-1)
-
-    def bkg_mlp(prm, planes):
-        if use_pallas:
-            from neuman_tpu.ops.pallas import raymarch
-
-            dirp = raymarch.dir_projection(spec.bkg, prm, dirs, compute_dtype)
-            return raymarch.nerf_mlp_pallas(
-                spec.bkg, prm, *planes, dirp, compute_dtype
-            )
-        return fused.mlp_planar(spec.bkg, prm, planes, d_ax, compute_dtype)
-
     # background: coarse -> importance -> fine (planar)
-    z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
-    planes = [origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)]
-    sg, rgb_c = bkg_mlp(params["coarse_bkg_net"], planes)
-    _, _, _, w, _ = fused.integrate_planar(
-        sg, rgb_c, z, dir_norm, white_bkg=white_bkg
+    f_z, f_sg, f_rgb_c, dir_norm = _bkg_branch_planar(
+        spec.bkg, params["coarse_bkg_net"], params["fine_bkg_net"], origins,
+        dirs, bkg_near, bkg_far, samples_per_ray, importance_samples_per_ray,
+        white_bkg, compute_dtype, use_pallas=use_pallas,
     )
-    f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
-    planes = [origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)]
-    f_sg, f_rgb_c = bkg_mlp(params["fine_bkg_net"], planes)
 
     # human branch; misses become far dummy samples with zero density
     hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
@@ -526,14 +781,93 @@ def _hybrid_chunk_planar(
     return rgb, depth, acc
 
 
+# ---------------------------------------------------------------------------
+# frame-level dispatch (one jit per frame: lax.map over stacked chunks)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _hit_frame(origins_st, dirs_st, posed_verts, geo_threshold):
+    """Whole-frame hit mask (one dispatch): does each ray intersect the
+    geo_threshold-dilated body-vertex bounds? Exactly the test the hybrid
+    chunk applies internally (ref ray_utils.py:204-219)."""
+
+    def body(od):
+        o, d = od
+        near, far = ray_ops.geometry_guided_near_far(
+            o, d, posed_verts, geo_threshold
+        )
+        return near < far
+
+    return jax.lax.map(body, (origins_st, dirs_st))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "compute_dtype_name", "use_pallas",
+    ),
+)
+def _bkg_frame_planar(
+    spec, params, origins_st, dirs_st, bkg_near, bkg_far, samples_per_ray,
+    importance_samples_per_ray, white_bkg, compute_dtype_name, use_pallas,
+):
+    def body(od):
+        o, d = od
+        return _bkg_chunk_planar(
+            spec, params, o, d, bkg_near, bkg_far,
+            samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+            use_pallas=use_pallas,
+        )
+
+    return jax.lax.map(body, (origins_st, dirs_st))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "samples_per_ray", "importance_samples_per_ray", "white_bkg",
+        "knn_k", "compute_dtype_name", "use_pallas", "knn_stride",
+    ),
+)
+def _hybrid_frame_planar(
+    spec, params, topology, origins_st, dirs_st, bkg_near, bkg_far,
+    posed_verts, Ts, geo_threshold, samples_per_ray,
+    importance_samples_per_ray, white_bkg, knn_k, compute_dtype_name,
+    use_pallas, knn_stride,
+):
+    def body(od):
+        o, d = od
+        return _hybrid_chunk_planar(
+            spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
+            geo_threshold, samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
+        )
+
+    return jax.lax.map(body, (origins_st, dirs_st))
+
+
 def render_hybrid_nerf(
     spec, params, cap, posed_verts, faces, Ts, rays_per_batch=32768,
     samples_per_ray=64, importance_samples_per_ray=128, white_bkg=True,
     geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, return_acc=False,
-    knn_k=8,
+    knn_k=4,
     planar=True, compute_dtype_name="bfloat16", mesh=None, use_pallas=False,
-    knn_stride=1,
+    knn_stride=1, dispatch="compact",
 ):
+    """Hybrid human+scene frame (ref render_utils.py:249-362).
+
+    knn_k default is 4 — the recall study (BASELINE.md) measured 98.8%
+    exact-face warp recall at k=4/stride 4, and k=4 keeps the Ericson
+    kernel at C=24 -> tn=2048 (k=8 forces C=48 -> tn=1024, ~2x the
+    mesh-query time for no measured image-quality gain).
+    """
     topology = _topo_cache(np.asarray(faces[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces[:, :3], dtype=np.int32),
                            num_verts=len(posed_verts))
@@ -543,27 +877,84 @@ def render_hybrid_nerf(
     Ts = jnp.asarray(Ts, dtype=jnp.float32)[: posed_verts.shape[0]]
     bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
     bkg_far = jnp.full((rays_per_batch, 1), cap.far["bkg"], jnp.float32)
-    if planar:
-        fn = lambda o, d: _hybrid_chunk_planar(
-            spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
-            jnp.float32(geo_threshold),
-            samples_per_ray=samples_per_ray,
-            importance_samples_per_ray=importance_samples_per_ray,
-            white_bkg=white_bkg, knn_k=knn_k,
-            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
-            knn_stride=knn_stride,
+    geo_t = jnp.float32(geo_threshold)
+
+    if planar and dispatch in ("scan", "compact"):
+        chunk = rays_per_batch
+        o_st, d_st = _maybe_shard_stacked(
+            _stack_chunks([origins, dirs], total, chunk), mesh, chunk
         )
+        if dispatch == "scan":
+            rgb_st, depth_st, acc_st = _hybrid_frame_planar(
+                spec, params, topology, o_st, d_st, bkg_near, bkg_far,
+                posed_verts, Ts, geo_t, samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, knn_k=knn_k,
+                compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+                knn_stride=knn_stride,
+            )
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+            acc = _unstack(acc_st, total)
+        else:
+            hit = _unstack(
+                _hit_frame(o_st, d_st, posed_verts, geo_t), total
+            )
+            rgb_st, depth_st = _bkg_frame_planar(
+                spec, params, o_st, d_st, bkg_near, bkg_far,
+                samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+                use_pallas=use_pallas,
+            )
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+            acc = np.zeros(total, np.float32)
+            idx = np.nonzero(hit)[0]
+            if idx.size:
+                padded = _pow2_hit_chunks(idx, chunk, total)
+                ho = jnp.take(origins, jnp.asarray(padded), axis=0)
+                hd = jnp.take(dirs, jnp.asarray(padded), axis=0)
+                ho_st, hd_st = _maybe_shard_stacked(
+                    [
+                        ho.reshape(-1, chunk, 3),
+                        hd.reshape(-1, chunk, 3),
+                    ],
+                    mesh, chunk,
+                )
+                h_rgb, h_depth, h_acc = _hybrid_frame_planar(
+                    spec, params, topology, ho_st, hd_st, bkg_near, bkg_far,
+                    posed_verts, Ts, geo_t, samples_per_ray=samples_per_ray,
+                    importance_samples_per_ray=importance_samples_per_ray,
+                    white_bkg=white_bkg, knn_k=knn_k,
+                    compute_dtype_name=compute_dtype_name,
+                    use_pallas=use_pallas, knn_stride=knn_stride,
+                )
+                rgb[idx] = _unstack(h_rgb, padded.size)[: idx.size]
+                depth[idx] = _unstack(h_depth, padded.size)[: idx.size]
+                acc[idx] = _unstack(h_acc, padded.size)[: idx.size]
     else:
-        fn = lambda o, d: _hybrid_chunk(
-            spec, params, topology, o, d, bkg_near, bkg_far, posed_verts, Ts,
-            jnp.float32(geo_threshold),
-            samples_per_ray=samples_per_ray,
-            importance_samples_per_ray=importance_samples_per_ray,
-            white_bkg=white_bkg, knn_k=knn_k,
+        if planar:
+            fn = lambda o, d: _hybrid_chunk_planar(
+                spec, params, topology, o, d, bkg_near, bkg_far, posed_verts,
+                Ts, geo_t,
+                samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, knn_k=knn_k,
+                compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+                knn_stride=knn_stride,
+            )
+        else:
+            fn = lambda o, d: _hybrid_chunk(
+                spec, params, topology, o, d, bkg_near, bkg_far, posed_verts,
+                Ts, geo_t,
+                samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, knn_k=knn_k,
+            )
+        rgb, depth, acc = _chunked(
+            fn, [origins, dirs], total, rays_per_batch, mesh=mesh
         )
-    rgb, depth, acc = _chunked(
-        fn, [origins, dirs], total, rays_per_batch, mesh=mesh
-    )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     if return_acc:
@@ -579,105 +970,187 @@ def render_hybrid_nerf(
 # ---------------------------------------------------------------------------
 
 
-def render_hybrid_nerf_multi_persons(
-    bkg_spec, bkg_params, cap, human_specs, human_params_list, posed_verts_list,
-    faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
-    importance_samples_per_ray=128, white_bkg=True,
-    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=8,
-    compute_dtype_name="bfloat16", mesh=None, use_pallas=False, knn_stride=1,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bkg_spec", "human_specs", "samples_per_ray",
+        "importance_samples_per_ray", "white_bkg", "knn_k",
+        "compute_dtype_name", "use_pallas", "knn_stride",
+    ),
+)
+def _multi_chunk_planar(
+    bkg_spec, bkg_params, human_specs, actor_trees, origins, dirs, bkg_near,
+    bkg_far, geo_threshold, samples_per_ray, importance_samples_per_ray,
+    white_bkg, knn_k, compute_dtype_name, use_pallas, knn_stride,
 ):
+    """Multi-actor composite chunk (ref render_utils.py:365-461).
+
+    human_specs: static tuple of HumanNeRF specs; actor_trees: matching
+    tuple of (params, verts, topology, Ts) pytrees. Module-level jit so
+    frame loops don't recompile per call (the old per-call jit(chunk_fn)
+    recompiled every frame)."""
     from neuman_tpu.ops import fused
 
     compute_dtype = (
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
+    f_z, f_sg, f_rgb_c, dir_norm = _bkg_branch_planar(
+        bkg_spec.bkg, bkg_params["coarse_bkg_net"],
+        bkg_params["fine_bkg_net"], origins, dirs, bkg_near, bkg_far,
+        samples_per_ray, importance_samples_per_ray, white_bkg,
+        compute_dtype, use_pallas=use_pallas,
+    )
+
+    z_list, sg_list, rgb_list = [f_z], [f_sg], [f_rgb_c]
+    for spec_h, (params_h, verts_h, topo_h, ts_h) in zip(
+        human_specs, actor_trees
+    ):
+        hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
+            spec_h, params_h, topo_h, origins, dirs, verts_h, ts_h,
+            geo_threshold, samples_per_ray, False, knn_k,
+            1.0, compute_dtype, use_pallas=use_pallas,
+            knn_stride=knn_stride,
+        )
+        # Dummy fill for miss rays must sit effectively at infinity:
+        # anything merely past `far` would truncate the last REAL
+        # sample's 1e10 delta in integrate_planar and bleed white
+        # background into every miss ray (caught by the gathering
+        # composite gate: composite-vs-bkg-only delta 0.18 outside
+        # the actors before this fix).
+        dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * 1e8
+        h_z = jnp.where(hit[:, None], h_z, dummy_z)
+        h_sg = jnp.where(hit[:, None], h_sg, -1e9)
+        z_list.append(h_z)
+        sg_list.append(h_sg)
+        rgb_list.append(h_rgb_c)
+
+    total_z, total_sg, total_rgb = fused.sort_merge_planar(
+        z_list, sg_list, rgb_list
+    )
+    rgb, _, _, _, depth = fused.integrate_planar(
+        total_sg, total_rgb, total_z, dir_norm, white_bkg=white_bkg
+    )
+    return rgb, depth
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bkg_spec", "human_specs", "samples_per_ray",
+        "importance_samples_per_ray", "white_bkg", "knn_k",
+        "compute_dtype_name", "use_pallas", "knn_stride",
+    ),
+)
+def _multi_frame_planar(
+    bkg_spec, bkg_params, human_specs, actor_trees, origins_st, dirs_st,
+    bkg_near, bkg_far, geo_threshold, samples_per_ray,
+    importance_samples_per_ray, white_bkg, knn_k, compute_dtype_name,
+    use_pallas, knn_stride,
+):
+    def body(od):
+        o, d = od
+        return _multi_chunk_planar(
+            bkg_spec, bkg_params, human_specs, actor_trees, o, d, bkg_near,
+            bkg_far, geo_threshold, samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
+        )
+
+    return jax.lax.map(body, (origins_st, dirs_st))
+
+
+def render_hybrid_nerf_multi_persons(
+    bkg_spec, bkg_params, cap, human_specs, human_params_list, posed_verts_list,
+    faces_list, Ts_list, rays_per_batch=32768, samples_per_ray=64,
+    importance_samples_per_ray=128, white_bkg=True,
+    geo_threshold=DEFAULT_GEO_THRESH, return_depth=False, knn_k=4,
+    compute_dtype_name="bfloat16", mesh=None, use_pallas=False, knn_stride=1,
+    dispatch="compact",
+):
+    """Multi-actor composite frame (ref render_utils.py:365-461). The
+    compact dispatch runs the actor branches only on rays inside the UNION
+    of the actors' dilated bounds; miss rays take the shared bkg-only pass.
+    knn_k=4 default: see render_hybrid_nerf."""
     origins_all, dirs_all = _cap_rays(cap)
     total = origins_all.shape[0]
     bkg_near = jnp.full((rays_per_batch, 1), cap.near["bkg"], jnp.float32)
     bkg_far = jnp.full((rays_per_batch, 1), cap.far["bkg"], jnp.float32)
+    geo_t = jnp.float32(geo_threshold)
 
-    actors = []
-    for spec_h, params_h, verts_h, faces_h, ts_h in zip(
-        human_specs, human_params_list, posed_verts_list, faces_list, Ts_list
+    specs = tuple(human_specs)
+    actor_trees = []
+    for params_h, verts_h, faces_h, ts_h in zip(
+        human_params_list, posed_verts_list, faces_list, Ts_list
     ):
         topo = _topo_cache(np.asarray(faces_h[:, :3], dtype=np.int32).tobytes(),
                            faces=np.asarray(faces_h[:, :3], dtype=np.int32),
                            num_verts=len(verts_h))
-        actors.append(
+        actor_trees.append(
             (
-                spec_h,
                 params_h,
                 jnp.asarray(verts_h, dtype=jnp.float32),
                 topo,
                 jnp.asarray(ts_h, dtype=jnp.float32)[: len(verts_h)],
             )
         )
+    actor_trees = tuple(actor_trees)
 
-    def chunk_fn(origins, dirs):
-        d_ax = [dirs[:, a] for a in range(3)]
-        dir_norm = jnp.linalg.norm(dirs, axis=-1)
-
-        def bkg_mlp(prm, planes):
-            if use_pallas:
-                from neuman_tpu.ops.pallas import raymarch
-
-                dirp = raymarch.dir_projection(
-                    bkg_spec.bkg, prm, dirs, compute_dtype
-                )
-                return raymarch.nerf_mlp_pallas(
-                    bkg_spec.bkg, prm, *planes, dirp, compute_dtype
-                )
-            return fused.mlp_planar(
-                bkg_spec.bkg, prm, planes, d_ax, compute_dtype
-            )
-
-        z = fused.sample_z(bkg_near, bkg_far, samples_per_ray)
-        planes = [
-            origins[:, a][:, None] + d_ax[a][:, None] * z for a in range(3)
-        ]
-        sg, rgb_c = bkg_mlp(bkg_params["coarse_bkg_net"], planes)
-        _, _, _, w, _ = fused.integrate_planar(
-            sg, rgb_c, z, dir_norm, white_bkg=white_bkg
-        )
-        f_z = fused.importance_z(z, w, importance_samples_per_ray, det=True)
-        planes = [
-            origins[:, a][:, None] + d_ax[a][:, None] * f_z for a in range(3)
-        ]
-        f_sg, f_rgb_c = bkg_mlp(bkg_params["fine_bkg_net"], planes)
-
-        z_list, sg_list, rgb_list = [f_z], [f_sg], [f_rgb_c]
-        for spec_h, params_h, verts_h, topo_h, ts_h in actors:
-            hit, h_z, h_sg, h_rgb_c = _human_branch_planar(
-                spec_h, params_h, topo_h, origins, dirs, verts_h, ts_h,
-                jnp.float32(geo_threshold), samples_per_ray, False, knn_k,
-                1.0, compute_dtype, use_pallas=use_pallas,
-                knn_stride=knn_stride,
-            )
-            # Dummy fill for miss rays must sit effectively at infinity:
-            # anything merely past `far` would truncate the last REAL
-            # sample's 1e10 delta in integrate_planar and bleed white
-            # background into every miss ray (caught by the gathering
-            # composite gate: composite-vs-bkg-only delta 0.18 outside
-            # the actors before this fix).
-            dummy_z = jnp.linspace(1.0, 2.0, samples_per_ray)[None] * 1e8
-            h_z = jnp.where(hit[:, None], h_z, dummy_z)
-            h_sg = jnp.where(hit[:, None], h_sg, -1e9)
-            z_list.append(h_z)
-            sg_list.append(h_sg)
-            rgb_list.append(h_rgb_c)
-
-        total_z, total_sg, total_rgb = fused.sort_merge_planar(
-            z_list, sg_list, rgb_list
-        )
-        rgb, _, _, _, depth = fused.integrate_planar(
-            total_sg, total_rgb, total_z, dir_norm, white_bkg=white_bkg
-        )
-        return rgb, depth
-
-    fn = jax.jit(chunk_fn)
-    rgb, depth = _chunked(
-        fn, [origins_all, dirs_all], total, rays_per_batch, mesh=mesh
+    chunk = rays_per_batch
+    frame = lambda ost, dst: _multi_frame_planar(
+        bkg_spec, bkg_params, specs, actor_trees, ost, dst, bkg_near,
+        bkg_far, geo_t, samples_per_ray=samples_per_ray,
+        importance_samples_per_ray=importance_samples_per_ray,
+        white_bkg=white_bkg, knn_k=knn_k,
+        compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+        knn_stride=knn_stride,
     )
+    if dispatch in ("scan", "compact"):
+        o_st, d_st = _maybe_shard_stacked(
+            _stack_chunks([origins_all, dirs_all], total, chunk), mesh, chunk
+        )
+        if dispatch == "scan":
+            rgb_st, depth_st = frame(o_st, d_st)
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+        else:
+            hit = np.zeros(total, bool)
+            for _, verts_h, _, _ in actor_trees:
+                hit |= _unstack(_hit_frame(o_st, d_st, verts_h, geo_t), total)
+            rgb_st, depth_st = _bkg_frame_planar(
+                bkg_spec, bkg_params, o_st, d_st, bkg_near, bkg_far,
+                samples_per_ray=samples_per_ray,
+                importance_samples_per_ray=importance_samples_per_ray,
+                white_bkg=white_bkg, compute_dtype_name=compute_dtype_name,
+                use_pallas=use_pallas,
+            )
+            rgb = _unstack(rgb_st, total)
+            depth = _unstack(depth_st, total)
+            idx = np.nonzero(hit)[0]
+            if idx.size:
+                padded = _pow2_hit_chunks(idx, chunk, total)
+                ho = jnp.take(origins_all, jnp.asarray(padded), axis=0)
+                hd = jnp.take(dirs_all, jnp.asarray(padded), axis=0)
+                ho_st, hd_st = _maybe_shard_stacked(
+                    [ho.reshape(-1, chunk, 3), hd.reshape(-1, chunk, 3)],
+                    mesh, chunk,
+                )
+                h_rgb, h_depth = frame(ho_st, hd_st)
+                rgb[idx] = _unstack(h_rgb, padded.size)[: idx.size]
+                depth[idx] = _unstack(h_depth, padded.size)[: idx.size]
+    else:
+        fn = lambda o, d: _multi_chunk_planar(
+            bkg_spec, bkg_params, specs, actor_trees, o, d, bkg_near,
+            bkg_far, geo_t, samples_per_ray=samples_per_ray,
+            importance_samples_per_ray=importance_samples_per_ray,
+            white_bkg=white_bkg, knn_k=knn_k,
+            compute_dtype_name=compute_dtype_name, use_pallas=use_pallas,
+            knn_stride=knn_stride,
+        )
+        rgb, depth = _chunked(
+            fn, [origins_all, dirs_all], total, rays_per_batch, mesh=mesh
+        )
     rgb = np.asarray(rgb).reshape(*cap.shape, -1)
     depth = np.asarray(depth).reshape(*cap.shape)
     if return_depth:
