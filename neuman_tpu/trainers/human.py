@@ -160,13 +160,21 @@ def _dummy_group(opt, ctx):
     return mesh_ops.stride_for(opt.samples_per_ray, ctx.get("knn_stride", 1))
 
 
-def make_human_loss_fn_reference(spec, opt, ctx):
+def make_human_loss_fn_reference(spec, opt, ctx, parity_inject=None):
     """Reference-shaped formulation ([R, S, 3] tensors); kept as the parity
     oracle for the planarized `make_human_loss_fn` below.
 
     ctx: dict with body_model, da_smpl, scale, topo, can_verts [N,V,3],
     can_k [C,3,3], can_c2w [C,4,4], can_hw, interval_comp, lpips_params,
-    scene_ids, grad_masks, knn_k."""
+    scene_ids, grad_masks, knn_k.
+
+    parity_inject (tests only): optional dict pinning the loss's stochastic
+    draws to concrete arrays so tests/test_loss_parity.py can feed the
+    IDENTICAL randomness to the verbatim torch reference loss_func
+    (human_nerf_trainer.py:382-446). Keys: "color_dirs" [R,S,3] unit dirs,
+    "dummy_pts" [R,S,3] canonical box points, "can_cam" int,
+    "can_x"/"can_y" [128] pixel coords."""
+    pi = parity_inject or {}
 
     body_model = ctx["body_model"]
     da_smpl = ctx["da_smpl"]
@@ -227,8 +235,13 @@ def make_human_loss_fn_reference(spec, opt, ctx):
         return dirs, z, can, can_dirs, out
 
     def color_range_reg(params, can_pts, can_dirs, tgts, key, weight):
-        dummy_dirs = jax.random.normal(key, can_dirs.shape, can_dirs.dtype)
-        dummy_dirs = dummy_dirs / jnp.linalg.norm(dummy_dirs, axis=-1, keepdims=True)
+        if "color_dirs" in pi:
+            dummy_dirs = jnp.asarray(pi["color_dirs"], can_dirs.dtype)
+        else:
+            dummy_dirs = jax.random.normal(key, can_dirs.shape, can_dirs.dtype)
+            dummy_dirs = dummy_dirs / jnp.linalg.norm(
+                dummy_dirs, axis=-1, keepdims=True
+            )
         dummy_out = hn.apply_coarse_human(spec, params, can_pts, dummy_dirs)
         return (
             jnp.mean(
@@ -265,9 +278,12 @@ def make_human_loss_fn_reference(spec, opt, ctx):
         reg = _masked_mean((occ - 1.0) ** 2, inside) * w_alpha
 
         r_, s_ = can_pts.shape[:2]
-        dummy_pts = clustered_box_points(
-            key, r_, s_, group=_dummy_group(opt, ctx)
-        )
+        if "dummy_pts" in pi:
+            dummy_pts = jnp.asarray(pi["dummy_pts"], can_pts.dtype)
+        else:
+            dummy_pts = clustered_box_points(
+                key, r_, s_, group=_dummy_group(opt, ctx)
+            )
         dummy_out = hn.apply_coarse_human(spec, params, dummy_pts, can_dirs)
         sd_d, _, _ = mesh_ops.signed_distance(
             dummy_pts.reshape(-1, 3), can_verts, topo, k=knn_k
@@ -289,11 +305,16 @@ def make_human_loss_fn_reference(spec, opt, ctx):
     def sparsity_reg(params, keys, interval_comp):
         k_cam, k_pix, k_perturb = keys
         num_can_rays = 128
-        c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
         h, w = ctx["can_hw"]
-        kx, ky = jax.random.split(k_pix)
-        x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
-        y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
+        if "can_x" in pi:
+            c = jnp.int32(pi.get("can_cam", 0))
+            x = jnp.asarray(pi["can_x"], jnp.float32)
+            y = jnp.asarray(pi["can_y"], jnp.float32)
+        else:
+            c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
+            kx, ky = jax.random.split(k_pix)
+            x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
+            y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
         origin, direction = ray_ops.pixels_to_rays(
             jnp.stack([x, y], axis=-1), ctx["can_k"][c], ctx["can_c2w"][c]
         )
@@ -408,15 +429,19 @@ def make_human_loss_fn_reference(spec, opt, ctx):
     return loss_fn
 
 
-def make_human_loss_fn(spec, opt, ctx):
+def make_human_loss_fn(spec, opt, ctx, parity_inject=None):
     """Planarized human-stage loss (the production path).
 
     Same losses/keys/randomness as `make_human_loss_fn_reference` — the two
     are numerically parity-tested — but every dense [R, S, 3] tensor is
     replaced by coordinate planes (ops/fused.py) so no intermediate hits the
     TPU's small-lane tile padding.
+
+    parity_inject: see make_human_loss_fn_reference.
     """
     from neuman_tpu.ops import fused
+
+    pi = parity_inject or {}
 
     def fused_mlp(jspec, prm, pl, d, dtype, per_ray=True):
         return fused.mlp_planar(jspec, prm, pl, d, dtype, dirs_per_ray=per_ray)
@@ -599,8 +624,11 @@ def make_human_loss_fn(spec, opt, ctx):
         return dir_norm, z, can_planes, can_dir_planes
 
     def color_dummy_dirs(key, r, s):
-        dummy = jax.random.normal(key, (r, s, 3))
-        dummy = dummy / jnp.linalg.norm(dummy, axis=-1, keepdims=True)
+        if "color_dirs" in pi:
+            dummy = jnp.asarray(pi["color_dirs"], jnp.float32)
+        else:
+            dummy = jax.random.normal(key, (r, s, 3))
+            dummy = dummy / jnp.linalg.norm(dummy, axis=-1, keepdims=True)
         return [dummy[..., a] for a in range(3)]
 
     def color_range_reg(d_rgb, rgb_c, weight):
@@ -629,9 +657,12 @@ def make_human_loss_fn(spec, opt, ctx):
         )
 
     def shape_dummy_planes(key, r, s):
-        # clustered so the group-KNN stride applies to this random-point
-        # query too (uniform marginal preserved — see clustered_box_points)
-        dummy = clustered_box_points(key, r, s, group=_dummy_group(opt, ctx))
+        if "dummy_pts" in pi:
+            dummy = jnp.asarray(pi["dummy_pts"], jnp.float32)
+        else:
+            # clustered so the group-KNN stride applies to this random-point
+            # query too (uniform marginal preserved — clustered_box_points)
+            dummy = clustered_box_points(key, r, s, group=_dummy_group(opt, ctx))
         return [dummy[..., a] for a in range(3)]
 
     def shape_reg(batch, can_planes, sg, d_planes, d_sg, w_alpha, w_dummy):
@@ -672,11 +703,16 @@ def make_human_loss_fn(spec, opt, ctx):
     def sparsity_reg(params, keys, interval_comp):
         k_cam, k_pix, k_perturb = keys
         num_can_rays = 128
-        c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
         h, w = ctx["can_hw"]
-        kx, ky = jax.random.split(k_pix)
-        x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
-        y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
+        if "can_x" in pi:
+            c = jnp.int32(pi.get("can_cam", 0))
+            x = jnp.asarray(pi["can_x"], jnp.float32)
+            y = jnp.asarray(pi["can_y"], jnp.float32)
+        else:
+            c = jax.random.randint(k_cam, (), 0, ctx["can_k"].shape[0])
+            kx, ky = jax.random.split(k_pix)
+            x = jax.random.randint(kx, (num_can_rays,), 0, w).astype(jnp.float32)
+            y = jax.random.randint(ky, (num_can_rays,), 0, h).astype(jnp.float32)
         origin, direction = ray_ops.pixels_to_rays(
             jnp.stack([x, y], axis=-1), ctx["can_k"][c], ctx["can_c2w"][c]
         )
