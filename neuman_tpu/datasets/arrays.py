@@ -51,11 +51,19 @@ class RaySceneArrays:
         return self.images.shape[1], self.images.shape[2]
 
 
-def build_scene_arrays(scene, view_indices=None, need_depth=True):
+def build_scene_arrays(scene, view_indices=None, need_depth=True,
+                       use_fused_depth=None):
     """Stage a (subset of a) NeuMan scene into device arrays.
 
     view_indices: capture indices to include (default: all). Captures must
     already have border masks (utils.misc.add_border_mask).
+
+    HBM slimming: a stage that never reads a depth source must not stage
+    it — at bike-scene scale each [N, H, W] f32 plane is ~369 MB HBM
+    (100 x 1280x720 x 4 B). need_depth=False (the human stage) stages
+    [N, 1, 1] placeholders for BOTH sources; use_fused_depth=True/False
+    (the bkg stage's static sampler flag, sampler.py:91) stages only the
+    source that will be gathered. use_fused_depth=None keeps both.
     """
     if view_indices is None:
         view_indices = list(range(len(scene.captures)))
@@ -67,16 +75,19 @@ def build_scene_arrays(scene, view_indices=None, need_depth=True):
     nb, fb, nh, fh, viewf = [], [], [], [], []
     perms, body_counts, border_counts = [], [], []
     verts = []
+    placeholder = np.zeros((1, 1), np.float32)
     for i, cap in zip(view_indices, caps):
         images.append(np.asarray(cap.image[..., :3], dtype=np.uint8))
         mask = cap.mask
         masks.append(mask.astype(np.uint8))
-        if need_depth:
+        if need_depth and use_fused_depth is not True:
             depths.append(cap.depth_map.astype(np.float32))
+        else:
+            depths.append(placeholder)
+        if need_depth and use_fused_depth is not False:
             fused.append(cap.fused_depth_map.astype(np.float32))
         else:
-            depths.append(np.zeros((h, w), np.float32))
-            fused.append(np.zeros((h, w), np.float32))
+            fused.append(placeholder)
         intr.append(cap.intrinsic_matrix.astype(np.float32))
         c2w.append(cap.cam_pose.camera_to_world.astype(np.float32))
         nb.append(cap.near["bkg"])
@@ -115,3 +126,31 @@ def build_scene_arrays(scene, view_indices=None, need_depth=True):
         border_count=jnp.asarray(np.array(border_counts, np.int32)),
         verts=jnp.asarray(np.stack(verts)),
     )
+
+
+def staged_nbytes(arrays: RaySceneArrays) -> int:
+    """Total HBM bytes of the staged scene arrays."""
+    import jax
+
+    return sum(int(a.nbytes) for a in jax.tree_util.tree_leaves(arrays))
+
+
+def projected_staged_bytes(num_views, h, w, num_verts=6890, need_depth=True,
+                           single_depth=True):
+    """Predicted staged-array HBM footprint (bytes) for a scene of
+    `num_views` x `h`x`w` frames — the budget model documented in
+    BASELINE.md ("HBM budget at real-scene scale"). Mirrors
+    build_scene_arrays' dtypes/shapes exactly (tested)."""
+    hw = h * w
+    n_depth_planes = 0 if not need_depth else (1 if single_depth else 2)
+    per_view = (
+        hw * 3          # images uint8
+        + hw            # masks uint8
+        + hw * 4 * n_depth_planes  # f32 depth planes
+        + hw * 4        # perm int32
+        + (9 + 16) * 4  # intrinsics + c2w
+        + num_verts * 3 * 4  # posed verts
+        + 7 * 4         # near/far x4, viewf, body/border counts
+    )
+    placeholder = 0 if n_depth_planes == 2 else (2 - n_depth_planes) * num_views * 4
+    return num_views * per_view + placeholder

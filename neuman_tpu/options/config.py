@@ -54,6 +54,9 @@ class NeuManConfig:
     render_h: Optional[int] = None
     render_w: Optional[int] = None
     weights_path: Optional[str] = None
+    # explicit LPIPS weights .npz (tools/convert_lpips.py output); default
+    # search path is <repo>/data/lpips_alex.npz (train.py load_lpips_params)
+    lpips_weights: Optional[str] = None
     white_bkg: bool = True
     trajectory_resolution: int = 40
 

@@ -265,7 +265,9 @@ class NeRFTrainer:
         self.out = opt.out
         os.makedirs(self.out, exist_ok=True)
         all_views = sorted(set(train_views) | set(val_views))
-        self.arrays = build_scene_arrays(scene, all_views)
+        self.arrays = build_scene_arrays(
+            scene, all_views, use_fused_depth=opt.use_fused_depth
+        )
         remap = {v: i for i, v in enumerate(all_views)}
         self.train_ids = [remap[v] for v in train_views]
         self.val_ids = [remap[v] for v in val_views]
@@ -325,7 +327,8 @@ class NeRFTrainer:
 
                 jax.profiler.stop_trace()
                 profiling = False
-            if self.iteration % 100 == 0:
+            push_every = max(1, min(100, self.opt.max_iter // 5))
+            if self.iteration % push_every == 0:
                 scalars = {f"train_loss/{k}": float(v) for k, v in metrics.items()
                            if "loss" in k}
                 scalars["params/lr"] = float(metrics["lr"])

@@ -1172,7 +1172,10 @@ class HumanNeRFTrainer:
 
                 jax.profiler.stop_trace()
                 profiling = False
-            if self.iteration % 100 == 0:
+            # every 100 iters, denser for short (smoke/CI) runs so they
+            # still produce train-loss records in metrics.jsonl
+            push_every = max(1, min(100, self.opt.max_iter // 5))
+            if self.iteration % push_every == 0:
                 scalars = {
                     f"train_loss/{k}": float(v)
                     for k, v in metrics.items()

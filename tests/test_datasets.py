@@ -168,3 +168,60 @@ def test_patch_presence_distribution(staged):
     rate = pcs.mean()
     # 400 draws at p=0.7: std ~0.023, 4-sigma band
     assert abs(rate - body_ratio) < 0.1, rate
+
+
+def test_staged_depth_slimming_and_hbm_budget(staged):
+    """Stages that never read a depth source must not pay its HBM
+    (VERDICT r4: 2 x ~369 MB f32 planes at bike scale), and the documented
+    budget model (projected_staged_bytes, BASELINE.md) must match
+    build_scene_arrays byte-for-byte."""
+    from neuman_tpu.datasets.arrays import projected_staged_bytes, staged_nbytes
+
+    scene, arrays_full = staged
+    n, (h, w) = arrays_full.num_views, arrays_full.hw
+    v = arrays_full.verts.shape[1]
+
+    # human stage: no depth staged at all
+    arr_h = build_scene_arrays(scene, need_depth=False)
+    assert arr_h.depths.shape == (n, 1, 1)
+    assert arr_h.fused_depths.shape == (n, 1, 1)
+    # bkg stage: only the selected source staged
+    arr_b = build_scene_arrays(scene, use_fused_depth=True)
+    assert arr_b.fused_depths.shape == (n, h, w)
+    assert arr_b.depths.shape == (n, 1, 1)
+    arr_b2 = build_scene_arrays(scene, use_fused_depth=False)
+    assert arr_b2.depths.shape == (n, h, w)
+    assert arr_b2.fused_depths.shape == (n, 1, 1)
+
+    # budget model matches reality exactly, for every staging mode
+    assert staged_nbytes(arr_h) == projected_staged_bytes(
+        n, h, w, v, need_depth=False
+    )
+    assert staged_nbytes(arr_b) == projected_staged_bytes(
+        n, h, w, v, need_depth=True, single_depth=True
+    )
+    assert staged_nbytes(arrays_full) == projected_staged_bytes(
+        n, h, w, v, need_depth=True, single_depth=False
+    )
+
+    # bike-scale budget (100 x 1280x720, SMPL 6890 verts): the bkg stage's
+    # staged arrays must stay ~1.1 GB — comfortably inside a 16 GB v5e
+    # chip next to params/optimizer/batch (all < 100 MB)
+    bike = projected_staged_bytes(100, 720, 1280, 6890, single_depth=True)
+    assert bike < 1.3e9, bike
+    bike_human = projected_staged_bytes(100, 720, 1280, 6890, need_depth=False)
+    assert bike_human < 0.95e9, bike_human
+
+
+def test_background_batch_reads_staged_source(staged):
+    """The slimmed bkg staging still feeds the sampler the right depth."""
+    import jax
+
+    scene, _ = staged
+    arr = build_scene_arrays(scene, use_fused_depth=True)
+    view_ids = jnp.arange(arr.num_views, dtype=jnp.int32)
+    batch = sampler.sample_background_batch(
+        jax.random.PRNGKey(0), arr, view_ids, 64, use_fused_depth=True
+    )
+    assert np.isfinite(np.asarray(batch["depth"])).all()
+    assert (np.asarray(batch["depth"]) > 0).any()

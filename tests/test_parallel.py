@@ -137,3 +137,110 @@ def test_mesh_sharded_render_matches_single_device():
     )
     np.testing.assert_allclose(rgb8, rgb1, atol=1e-5)
     np.testing.assert_allclose(d8, d1, atol=1e-4)
+
+
+def _human_render_setup():
+    from tests.test_render import tiny_cap, tiny_opt
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.models import smpl as smpl_module
+
+    opt = tiny_opt()
+    spec = hn.build_human_nerf_spec(opt)
+    body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=6)
+    n = 3
+    rng = np.random.default_rng(0)
+    params = hn.init_human_nerf_params(
+        jax.random.PRNGKey(0), spec,
+        rng.normal(size=(n, 18)).astype(np.float32) * 0.1,
+        rng.normal(size=(n, 10)).astype(np.float32) * 0.1,
+        np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1)),
+    )
+    da = hn.da_pose_params(6)
+    wv, t = hn.vertex_forward(spec, params, body, da, scale=1.0, idx=0)
+    verts = np.asarray(wv[0])
+    Ts = np.asarray(t[0])
+    faces = np.concatenate([body.faces, body.faces], axis=1)
+    cap = tiny_cap(h=16, w=16)  # 256 rays; chunks of 64 divide the mesh
+    return spec, params, cap, verts, faces, Ts
+
+
+@pytest.mark.parametrize("dispatch", ["compact", "scan"])
+def test_mesh_sharded_hybrid_render_matches_single_device(dispatch):
+    """render_hybrid_nerf (the render_test_views/360/reposing path, ref
+    render_utils.py:249-362) sharded over the 8-device mesh == unsharded,
+    for both frame-level dispatch protocols."""
+    from neuman_tpu.render import renderer
+
+    spec, params, cap, verts, faces, Ts = _human_render_setup()
+    kw = dict(
+        rays_per_batch=64, samples_per_ray=8, importance_samples_per_ray=8,
+        geo_threshold=0.3, knn_k=4, compute_dtype_name="float32",
+        return_depth=True, return_acc=True, dispatch=dispatch,
+    )
+    out1 = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, **kw
+    )
+    out8 = renderer.render_hybrid_nerf(
+        spec, params, cap, verts, faces, Ts, mesh=make_mesh(8), **kw
+    )
+    for a, b, name in zip(out8, out1, ("rgb", "depth", "acc")):
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_mesh_sharded_multi_person_render_matches_single_device():
+    """render_hybrid_nerf_multi_persons (ref render_utils.py:365-461)
+    sharded over the 8-device mesh == unsharded."""
+    from neuman_tpu.render import renderer
+
+    spec, params, cap, verts, faces, Ts = _human_render_setup()
+    actors = dict(
+        human_specs=[spec, spec],
+        human_params_list=[params, params],
+        posed_verts_list=[verts, verts + np.array([0.6, 0, 0], np.float32)],
+        faces_list=[faces, faces],
+        Ts_list=[Ts, Ts],
+    )
+    kw = dict(
+        rays_per_batch=64, samples_per_ray=8, importance_samples_per_ray=8,
+        geo_threshold=0.3, knn_k=4, compute_dtype_name="float32",
+        return_depth=True,
+    )
+    rgb1, d1 = renderer.render_hybrid_nerf_multi_persons(
+        spec, params, cap, **actors, **kw
+    )
+    rgb8, d8 = renderer.render_hybrid_nerf_multi_persons(
+        spec, params, cap, mesh=make_mesh(8), **actors, **kw
+    )
+    np.testing.assert_allclose(rgb8, rgb1, atol=1e-5)
+    np.testing.assert_allclose(d8, d1, atol=1e-4)
+
+
+def test_indivisible_chunk_warns_unsharded():
+    """A chunk size not divisible by the mesh size must renderer-warn (the
+    silent fallback was a quiet perf cliff) and still produce correct
+    pixels."""
+    import warnings as _warnings
+
+    from tests.test_render import tiny_cap, tiny_opt
+    from neuman_tpu.models import human_nerf as hn
+    from neuman_tpu.render import renderer
+
+    opt = tiny_opt()
+    spec = hn.build_human_nerf_spec(opt)
+    params = hn.init_human_nerf_params(jax.random.PRNGKey(0), spec)
+    cap = tiny_cap(h=10, w=10)
+    kw = dict(
+        fine_params=params["fine_bkg_net"], rays_per_batch=50,
+        samples_per_ray=8, importance_samples_per_ray=8,
+        compute_dtype_name="float32",
+    )
+    rgb1 = renderer.render_vanilla(spec.bkg, params["coarse_bkg_net"], cap, **kw)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        rgb8 = renderer.render_vanilla(
+            spec.bkg, params["coarse_bkg_net"], cap, mesh=make_mesh(8), **kw
+        )
+    assert any("UNSHARDED" in str(w.message) for w in rec), [
+        str(w.message) for w in rec
+    ]
+    np.testing.assert_allclose(rgb8, rgb1, atol=1e-5)

@@ -58,9 +58,11 @@ def run_cli(script, args, data_root, cwd):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["NEUMAN_DATA_ROOT"] = data_root
     env["PYTHONPATH"] = REPO
+    # 1800s: the production-spec gate measured 451s standalone but exceeded
+    # a 900s cap under 1-CPU contention with a concurrent pytest run
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script)] + args,
-        capture_output=True, text=True, timeout=900, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=1800, cwd=cwd, env=env,
     )
     if proc.returncode != 0:
         raise AssertionError(
@@ -481,3 +483,54 @@ def test_gathering_composite_gate(renderable_setup, trained_human):
     assert d_out <= 0.01, (
         f"actors contaminate background pixels (mean |delta| {d_out:.4f})"
     )
+
+
+def test_lpips_patch_path_trains(renderable_setup):
+    """CLI-driven training exercises the LPIPS patch path end to end:
+    patch sampling (32x32 leading block) -> perceptual loss -> gradients.
+
+    The main quality gate trains with --penalize_lpips 0 and train.py
+    silently disables the loss without weights, so before this test no
+    CI training ever ran the path (the reference default TRAINS with it,
+    train.py:203, human_nerf_trainer.py:432-435). Calibrated AlexNet
+    weights are environment-blocked; a random-init fixture
+    (init_lpips_params) exercises identical code/FLOPs — only the values
+    differ, which this test does not assert."""
+    import jax
+
+    scene_dir, data_root, workdir = renderable_setup
+
+    from neuman_tpu.models.lpips import init_lpips_params
+    from neuman_tpu.trainers.checkpoint import save_checkpoint
+
+    fixture = os.path.join(workdir, "lpips_fixture.npz")
+    save_checkpoint(fixture, init_lpips_params(jax.random.PRNGKey(0)))
+
+    out_dir = os.path.join(workdir, "out")
+    run_cli(
+        "train.py",
+        [
+            "--train_mode", "smpl_and_offset", "--scene_dir", scene_dir,
+            "--name", "qlpips", "--out_dir", out_dir,
+            # > PATCH_SIZE_SQUARED=1024 rays so the leading 32x32 patch fits
+            "--rays_per_batch", "1100", "--max_iter", "25",
+            "--valid_iter", "100000", "--dilation", "2",
+            "--penalize_lpips", "0.01", "--lpips_weights", fixture,
+            "--geo_threshold", "0.3", "--learning_rate", "2e-3",
+        ]
+        + TINY,
+        data_root, workdir,
+    )
+    metrics_path = os.path.join(out_dir, "qlpips", "metrics.jsonl")
+    lpips_vals = []
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_loss/lpips_loss" in rec:
+                lpips_vals.append(rec["train_loss/lpips_loss"])
+                assert np.isfinite(rec["train_loss/total_loss"])
+    assert lpips_vals, "no lpips_loss records in metrics.jsonl"
+    # patch draws are stochastic (~body_ratio chance per step) but over the
+    # logged iterations at least one must have fired with a nonzero loss
+    assert max(lpips_vals) > 0.0, lpips_vals
+    assert os.path.isfile(os.path.join(out_dir, "qlpips", "checkpoint.npz"))

@@ -33,13 +33,15 @@ def auto_geo_threshold(scene):
 
 
 def load_lpips_params(opt):
-    path = os.path.join(
+    path = getattr(opt, "lpips_weights", None) or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "data", "lpips_alex.npz"
     )
     if os.path.isfile(path):
         from neuman_tpu.trainers.checkpoint import load_checkpoint
 
         return load_checkpoint(path)
+    if getattr(opt, "lpips_weights", None):
+        raise FileNotFoundError(f"--lpips_weights {path} does not exist")
     return None
 
 
