@@ -112,6 +112,11 @@ def main():
                              "degrades to the XLA fallback instead of dying "
                              "(stages: render, human_step, bkg_step, "
                              "hybrid_render)")
+    parser.add_argument("--assert-floor", type=float, default=None,
+                        help="CI perf ratchet: exit 1 if vs_baseline falls "
+                             "below this value or any Pallas stage fell "
+                             "back to XLA (verify skill runs "
+                             "--assert-floor 10)")
     args = parser.parse_args()
 
     def _maybe_break(stage, fn):
@@ -320,6 +325,19 @@ def main():
     else:
         result["pallas"] = "off"
     print(json.dumps(result))
+    if args.assert_floor is not None:
+        ok = (
+            result.get("vs_baseline", 0.0) >= args.assert_floor
+            and result.get("pallas") in ("compiled", "off")
+        )
+        if not ok:
+            print(
+                f"PERF FLOOR VIOLATION: vs_baseline="
+                f"{result.get('vs_baseline')} < {args.assert_floor} or "
+                f"pallas={result.get('pallas')!r}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
     return result
 
 

@@ -305,6 +305,7 @@ class QueryTables(NamedTuple):
 
     vtab9: jnp.ndarray  # [V, inc_width*9] coordinate rows of incident faces
     vn_pack: jnp.ndarray  # [F, 16] packed per-corner pseudonormals
+    vntab9: jnp.ndarray  # [V, inc_width*9] pseudonormal rows of incident faces
 
 
 def build_query_tables(verts, topology: "MeshTopology"):
@@ -315,7 +316,59 @@ def build_query_tables(verts, topology: "MeshTopology"):
     ].reshape(verts.shape[0], inc_width * 9)
     vn = angle_weighted_vertex_normals(verts, topology.faces)
     vn_pack = _packed_face_table(vn, topology.faces, pad_to=16)
-    return QueryTables(vtab9=vtab9, vn_pack=vn_pack)
+    vntab9 = _packed_face_table(vn, topology.faces)[
+        jnp.maximum(topology.incidence, 0)
+    ].reshape(verts.shape[0], inc_width * 9)
+    return QueryTables(vtab9=vtab9, vn_pack=vn_pack, vntab9=vntab9)
+
+
+def _query_knn(points, verts, k, exact_knn=False, knn_stride=1,
+               knn_impl=None):
+    """Vertex-KNN phase shared by the closest-point and fused
+    signed-distance queries. Returns (knn_idx [Nq, k], stride) with Nq =
+    N // stride (group-KNN: one query per group of `knn_stride`
+    consecutive points, represented by its MIDDLE sample — halves the
+    worst-case offset vs using the first).
+
+    TPU default: approx_max_k, the hardware bucketed top-k (exact
+    lax.top_k lowers to full per-row sorts — measured seconds per step at
+    [200k, 6890]). knn_impl="bucketed" selects the streaming Pallas kernel
+    instead: equal recall (interleaved buckets, tools/bench_mesh_query.py
+    --recall) and the [N, V] distance matrix (8 GB at training size) never
+    touches HBM, but it measured ~1.3 ms slower per query on v5e — use it
+    when HBM is the constraint. CPU (tests): exact top_k."""
+    n_pts = points.shape[0]
+    stride = knn_stride if (knn_stride > 1 and n_pts % knn_stride == 0) else 1
+    q = (
+        points
+        if stride == 1
+        else points.reshape(n_pts // stride, stride, 3)[:, stride // 2]
+    )
+    if knn_impl is None:
+        knn_impl = (
+            "approx"
+            if jax.default_backend() == "tpu" and not exact_knn
+            else "exact"
+        )
+    if knn_impl == "bucketed":
+        from neuman_tpu.ops.pallas.meshquery import bucketed_knn_pallas
+
+        knn_idx = bucketed_knn_pallas(q, verts, k)
+    else:
+        v2 = jnp.sum(verts * verts, axis=-1)[None, :]
+        p2 = jnp.sum(q * q, axis=-1)[:, None]
+        d2_pv = p2 + v2 - 2.0 * (q @ verts.T)
+        if knn_impl == "approx":
+            _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
+        else:
+            _, knn_idx = jax.lax.top_k(-d2_pv, k)
+    return knn_idx, stride
+
+
+def _pallas_candidate_rows(joined_tab, knn_idx_s, nq, c_cands):
+    """Join-table rows -> coordinate-major [9*C, Nq] kernel operand."""
+    g9 = joined_tab[knn_idx_s].reshape(nq, c_cands, 9)
+    return g9.transpose(2, 1, 0).reshape(9 * c_cands, nq)
 
 
 def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
@@ -353,41 +406,11 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
     verts = jax.lax.stop_gradient(verts)
     faces = topology.faces
     n_pts = points.shape[0]
-    stride = knn_stride if (knn_stride > 1 and n_pts % knn_stride == 0) else 1
-    q = (
-        points
-        if stride == 1
-        # group representative = the MIDDLE sample (halves the worst-case
-        # offset vs using the first)
-        else points.reshape(n_pts // stride, stride, 3)[:, stride // 2]
+    knn_idx_s, stride = _query_knn(
+        points, verts, k, exact_knn=exact_knn, knn_stride=knn_stride,
+        knn_impl=knn_impl,
     )
-    # TPU default: approx_max_k, the hardware bucketed top-k (exact
-    # lax.top_k lowers to full per-row sorts — measured seconds per step
-    # at [200k, 6890]). knn_impl="bucketed" selects the streaming Pallas
-    # kernel instead: equal recall (interleaved buckets, see
-    # tools/bench_mesh_query.py --recall) and the [N, V] distance matrix
-    # (8 GB at training size) never touches HBM, but it measured ~1.3 ms
-    # slower per query on v5e — use it when HBM is the constraint (bigger
-    # scenes / multi-person). CPU (tests): exact top_k.
-    if knn_impl is None:
-        knn_impl = (
-            "approx"
-            if jax.default_backend() == "tpu" and not exact_knn
-            else "exact"
-        )
-    if knn_impl == "bucketed":
-        from neuman_tpu.ops.pallas.meshquery import bucketed_knn_pallas
-
-        knn_idx = bucketed_knn_pallas(q, verts, k)
-    else:
-        v2 = jnp.sum(verts * verts, axis=-1)[None, :]
-        p2 = jnp.sum(q * q, axis=-1)[:, None]
-        d2_pv = p2 + v2 - 2.0 * (q @ verts.T)
-        if knn_impl == "approx":
-            _, knn_idx = jax.lax.approx_max_k(-d2_pv, k, recall_target=0.95)
-        else:
-            _, knn_idx = jax.lax.top_k(-d2_pv, k)
-    knn_idx_s = knn_idx  # strided [Nq, k]: group gathers stay at Nq
+    knn_idx = knn_idx_s
 
     # Gathers pay per INDEX: fetching the C = k*I candidate faces as [N, C]
     # row gathers costs N*C indices (measured 43 ms of a 53 ms query at
@@ -423,8 +446,7 @@ def point_mesh_closest_planar(points, verts, topology: MeshTopology, k=8,
         nq = n_pts // stride
         c_cands = k * inc_width
         cand_s = topology.incidence[knn_idx_s].reshape(nq, -1)  # [Nq, C]
-        g9 = vtab9[knn_idx_s].reshape(nq, c_cands, 9)
-        rows9 = g9.transpose(2, 1, 0).reshape(9 * c_cands, nq)
+        rows9 = _pallas_candidate_rows(vtab9, knn_idx_s, nq, c_cands)
         p3 = points.T  # [3, N]
         d2, f_id, closest = ericson_select_pallas(
             p3, rows9, cand_s.T, stride=stride
@@ -547,8 +569,50 @@ def _corners_at(verts, topology, f_id):
 def _signed_distance_planar(points, verts, topology: MeshTopology, k=8,
                             knn_stride=1, tables: QueryTables = None,
                             use_pallas=None, knn_impl=None):
-    """(signed_dist [N], f_id [N], closest column-tuple). Planar internals."""
+    """(signed_dist [N], f_id [N], closest column-tuple). Planar internals.
+
+    use_pallas: None (auto) / False (pure XLA) / True (Ericson Pallas
+    closest-point kernel + XLA sign tail — the TPU default) / "fused"
+    (single Ericson+sign kernel, meshquery._signed_kernel). Fusing the
+    sign into the kernel was measured SLOWER at the production config
+    (N=196k, k=4, tables: 7.2 ms default vs 8.5 ms fused at stride=4;
+    20.8 vs 29.4 at stride=1, v5e) — the 9 extra [C, TN] pseudonormal
+    input planes cost more than the XLA tail's [Nq, 16] gathers save.
+    Kept as an option for HBM-constrained shapes."""
     faces = topology.faces
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas == "fused":
+        from neuman_tpu.ops.pallas.meshquery import (
+            ericson_signed_select_pallas,
+        )
+
+        verts_sg = jax.lax.stop_gradient(verts)
+        n_pts = points.shape[0]
+        inc_width = topology.incidence.shape[1]
+        knn_idx_s, stride = _query_knn(
+            points, verts_sg, k, knn_stride=knn_stride, knn_impl=knn_impl
+        )
+        nq = n_pts // stride
+        c_cands = k * inc_width
+        if tables is not None:
+            vtab9, vntab9 = tables.vtab9, tables.vntab9
+        else:
+            inc = jnp.maximum(topology.incidence, 0)
+            vtab9 = _packed_face_table(verts_sg, faces)[inc].reshape(
+                verts_sg.shape[0], inc_width * 9
+            )
+            vntab9 = _packed_face_table(
+                angle_weighted_vertex_normals(verts_sg, faces), faces
+            )[inc].reshape(verts_sg.shape[0], inc_width * 9)
+        cand_s = topology.incidence[knn_idx_s].reshape(nq, -1)
+        rows9 = _pallas_candidate_rows(vtab9, knn_idx_s, nq, c_cands)
+        vn9 = _pallas_candidate_rows(vntab9, knn_idx_s, nq, c_cands)
+        sd, f_id, closest = ericson_signed_select_pallas(
+            points.T, rows9, vn9, cand_s.T, stride=stride
+        )
+        return sd, f_id, closest
+
     d2, f_id, closest = point_mesh_closest_planar(
         points, verts, topology, k=k, knn_stride=knn_stride, tables=tables,
         use_pallas=use_pallas, knn_impl=knn_impl,
@@ -706,15 +770,29 @@ def warp_samples_to_canonical(pts, verts, T, topology: MeshTopology, k=8, method
 
 def warp_points_to_canonical_diff(pts, verts, T, topology: MeshTopology, k=8,
                                   knn_stride=1, use_pallas=None,
-                                  knn_impl=None):
+                                  knn_impl=None, need_sd=False):
     """Training-time warp, planar internals: pts [N, 3] -> (can [N, 3],
-    f_id [N], signed_dist [N]). Same gradient semantics as
+    f_id [N], signed_dist [N] or None). Same gradient semantics as
     `warp_samples_to_canonical_diff` (closest point / face choice
-    stop-gradient; barycentric T-blend differentiable w.r.t. `verts`)."""
-    sd, f_id, closest_cols = _signed_distance_planar(
-        pts, jax.lax.stop_gradient(verts), topology, k=k,
-        knn_stride=knn_stride, use_pallas=use_pallas, knn_impl=knn_impl,
-    )
+    stop-gradient; barycentric T-blend differentiable w.r.t. `verts`).
+
+    need_sd=False (production default — both trainer call sites discard
+    it): skips the pseudonormal sign explicitly instead of relying on XLA
+    DCE to delete it, which keeps the skip independent of the sd
+    implementation (the "fused" Pallas variant is an opaque pallas_call
+    XLA could NOT dead-code-eliminate) and avoids rebuilding the
+    angle-weighted normal join for the warp's per-step posed verts."""
+    if need_sd:
+        sd, f_id, closest_cols = _signed_distance_planar(
+            pts, jax.lax.stop_gradient(verts), topology, k=k,
+            knn_stride=knn_stride, use_pallas=use_pallas, knn_impl=knn_impl,
+        )
+    else:
+        sd = None
+        _, f_id, closest_cols = point_mesh_closest_planar(
+            pts, jax.lax.stop_gradient(verts), topology, k=k,
+            knn_stride=knn_stride, use_pallas=use_pallas, knn_impl=knn_impl,
+        )
     aff = _blend_inverse_affine(
         closest_cols, f_id, verts, T, topology, differentiable=True
     )

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from neuman_tpu.ops.mesh import closest_point_on_triangles_planar
+from neuman_tpu.ops.mesh import (
+    barycentric_planar,
+    closest_point_on_triangles_planar,
+)
 
 _LANE_TILE = 2048
 # The kernel's live set scales linearly with the candidate count C: ~52
@@ -44,14 +47,14 @@ _VMEM_BUDGET = 10 * 2**20 + 2**19
 _VMEM_PLANES = 52
 
 
-def _lane_tile(num_cands, n, stride=1):
+def _lane_tile(num_cands, n, stride=1, planes=None, budget=None):
     # stride > 1 (group-KNN) grows the point block to [3*stride, tn] and
     # the outputs to [5*stride, tn], and the unrolled per-member loop can
     # extend temporary liveness — charge ~8 extra [1, tn] planes per member
     # on top of the [C, tn] estimate so grouped corners keep headroom.
-    planes = _VMEM_PLANES * num_cands + 8 * stride
+    planes = (planes or _VMEM_PLANES) * num_cands + 8 * stride
     tn = _LANE_TILE
-    while tn > 128 and planes * tn * 4 > _VMEM_BUDGET:
+    while tn > 128 and planes * tn * 4 > (budget or _VMEM_BUDGET):
         tn //= 2
     if n < tn:
         # one lane-aligned tile covering all points
@@ -111,6 +114,201 @@ def _kernel(p_ref, rows_ref, cand_ref, outf_ref, outi_ref, *, num_cands,
         outi_ref[m : m + 1, :] = jnp.sum(
             jnp.where(msk, jnp.maximum(fid, 0), 0), axis=0, keepdims=True
         )
+
+
+def _signed_kernel(p_ref, rows_ref, vn_ref, cand_ref, outf_ref, outi_ref, *,
+                   num_cands, stride=1):
+    """Ericson candidate phase + pseudonormal SIGN, fully in VMEM.
+
+    Same layout as `_kernel`, plus vn_ref: [9*C, TN] packed per-corner
+    angle-weighted vertex pseudonormals at the group-KNN stride. After the
+    argmin select, the kernel computes per-candidate sign dots on the VPU,
+    mask-reduces the winner's, and writes sign * sqrt(d2) in the distance
+    channel. NOT the default: at the production config (N=196k, k=4,
+    tables) this measured ~18% slower at stride=4 and ~40% at stride=1
+    than the default Ericson kernel + XLA sign tail — the 9 extra [C, TN]
+    pseudonormal input planes (HBM reads + VMEM pressure) outweigh the
+    [Nq, 16] gathers the tail costs. Select via
+    signed_distance(use_pallas="fused") when HBM is the constraint.
+    (Reference counterpart: igl.signed_distance, human_nerf_trainer.py:
+    305-343.)"""
+    c_ = num_cands
+    rows = rows_ref[:]
+    vnr = vn_ref[:]
+    coord = lambda t, j: t[j * c_ : (j + 1) * c_]  # [C, TN]
+    a = (coord(rows, 0), coord(rows, 1), coord(rows, 2))
+    b = (coord(rows, 3), coord(rows, 4), coord(rows, 5))
+    c = (coord(rows, 6), coord(rows, 7), coord(rows, 8))
+    fid = cand_ref[:]
+    ci = jax.lax.broadcasted_iota(jnp.int32, fid.shape, 0)
+    for m in range(stride):
+        p = (
+            p_ref[3 * m : 3 * m + 1, :],
+            p_ref[3 * m + 1 : 3 * m + 2, :],
+            p_ref[3 * m + 2 : 3 * m + 3, :],
+        )
+        cp = closest_point_on_triangles_planar(p, a, b, c)
+        d2 = sum((cp[i] - p[i]) ** 2 for i in range(3))
+        d2 = jnp.where(fid >= 0, d2, jnp.inf)
+        best_d2 = jnp.min(d2, axis=0, keepdims=True)
+        pri = jnp.where(d2 == best_d2, ci, num_cands)
+        sel = jnp.min(pri, axis=0, keepdims=True)
+        msk = pri == sel
+
+        pick = lambda t: jnp.sum(
+            jnp.where(msk, t, 0.0), axis=0, keepdims=True
+        )  # [1, TN]
+        # sign dot computed PER CANDIDATE (elementwise [C, TN] — cheap on
+        # the VPU), then ONE masked reduction selects the winner's dot; the
+        # earlier formulation mask-reduced the 9 corners + 9 normals first
+        # (18 reductions/member) and measured ~20% slower than unfused
+        u, v, w = barycentric_planar(cp, a, b, c)
+        na, nb, nc = (
+            (coord(vnr, 0), coord(vnr, 1), coord(vnr, 2)),
+            (coord(vnr, 3), coord(vnr, 4), coord(vnr, 5)),
+            (coord(vnr, 6), coord(vnr, 7), coord(vnr, 8)),
+        )
+        dotc = sum(
+            (p[i] - cp[i]) * (u * na[i] + v * nb[i] + w * nc[i])
+            for i in range(3)
+        )  # [C, TN]
+        dot = pick(dotc)
+        sign = jnp.where(dot < 0, -1.0, 1.0)  # dot==0 -> +1 (mesh.py parity)
+        sd = sign * jnp.sqrt(jnp.maximum(best_d2, 0.0))
+
+        outf_ref[4 * m : 4 * m + 1, :] = sd
+        for i in range(3):
+            outf_ref[4 * m + 1 + i : 4 * m + 2 + i, :] = pick(cp[i])
+        outi_ref[m : m + 1, :] = jnp.sum(
+            jnp.where(msk, jnp.maximum(fid, 0), 0), axis=0, keepdims=True
+        )
+
+
+# vn_ref adds 9 more [C, TN] input planes to the signed kernel's live set
+_VMEM_PLANES_SIGNED = _VMEM_PLANES + 9
+
+
+def _signed_select_impl(p3, rows9, vn9, cand, interpret, stride):
+    n = p3.shape[1]
+    assert n % stride == 0, (n, stride)
+    nq = n // stride
+    num_cands = cand.shape[0]
+    assert rows9.shape == (num_cands * 9, nq)
+    assert vn9.shape == (num_cands * 9, nq)
+    c_pad = (-num_cands) % 8
+    if c_pad:
+        rows9 = jnp.pad(
+            rows9.reshape(9, num_cands, nq), ((0, 0), (0, c_pad), (0, 0))
+        ).reshape(9 * (num_cands + c_pad), nq)
+        vn9 = jnp.pad(
+            vn9.reshape(9, num_cands, nq), ((0, 0), (0, c_pad), (0, 0))
+        ).reshape(9 * (num_cands + c_pad), nq)
+        cand = jnp.pad(cand, ((0, c_pad), (0, 0)), constant_values=-1)
+        num_cands += c_pad
+    p3g = (
+        p3.reshape(3, nq, stride).transpose(2, 0, 1).reshape(3 * stride, nq)
+    )
+    # the signed kernel's 9 extra read-only input planes would drop the
+    # lane tile to 1024 under the conservative default budget; its
+    # 61-plane live set at C=24, tn=2048 measures 12.0 MB — grant it a
+    # 12.6 MB budget (still 3.4 MB under the 16 MB scoped limit) so the
+    # training-shape tile stays 2048. Larger C still steps down (C=48 ->
+    # 1024, C=72 -> 512), validated by tools/sweep_pallas_envelope.py.
+    tn = _lane_tile(num_cands, nq, stride=stride,
+                    planes=_VMEM_PLANES_SIGNED,
+                    budget=12 * 2**20 + 5 * 2**17)
+    pad = (-nq) % tn
+    if pad:
+        p3g = jnp.pad(p3g, ((0, 0), (0, pad)), mode="edge")
+        rows9 = jnp.pad(rows9, ((0, 0), (0, pad)), mode="edge")
+        vn9 = jnp.pad(vn9, ((0, 0), (0, pad)), mode="edge")
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+    cand = jnp.where(
+        jnp.arange(cand.shape[1])[None, :] < nq, cand,
+        jnp.where(jnp.arange(num_cands)[:, None] == 0, 0, -1),
+    )
+    nq_pad = nq + pad
+    grid = (nq_pad // tn,)
+    outf, outi = pl.pallas_call(
+        functools.partial(_signed_kernel, num_cands=num_cands, stride=stride),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3 * stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num_cands * 9, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num_cands * 9, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num_cands, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (4 * stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (stride, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4 * stride, nq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((stride, nq_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(p3g, rows9, vn9, cand)
+    outf = (
+        outf.reshape(stride, 4, nq_pad)
+        .transpose(1, 2, 0)
+        .reshape(4, nq_pad * stride)
+    )
+    outi = outi.T.reshape(1, nq_pad * stride)
+    sd = outf[0, :n]
+    cp = (outf[1, :n], outf[2, :n], outf[3, :n])
+    f_id = outi[0, :n]
+    return sd, f_id, cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ericson_signed_select_pallas(p3, rows9, vn9, cand, interpret=None,
+                                 stride=1):
+    """Fused closest-point + pseudonormal-sign query (see _signed_kernel).
+
+    Same contract as ericson_select_pallas plus vn9: [9*C, N//stride]
+    coordinate-major packed per-corner pseudonormals. Returns
+    (signed_dist [N], f_id [N] int32, closest (x, y, z) of [N]).
+
+    VJP: d(sd)/d(points) = sign(sd) * (p - cp) / |sd| (the envelope
+    gradient of sign * sqrt(d2); face choice / closest point / normals
+    carry no gradient — igl parity, ref ray_utils.py:69-93)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _signed_select_impl(p3, rows9, vn9, cand, interpret, stride)
+
+
+def _signed_fwd(p3, rows9, vn9, cand, interpret, stride):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _signed_select_impl(p3, rows9, vn9, cand, interpret, stride)
+    sd, f_id, cp = out
+    return out, (p3, cp, sd)
+
+
+def _signed_bwd(interpret, stride, res, g):
+    p3, cp, sd = res
+    g_sd, _, _ = g
+    inv = jnp.where(jnp.abs(sd) < 1e-12, 0.0, 1.0 / jnp.abs(sd))
+    sign = jnp.where(sd < 0, -1.0, 1.0)
+    gp = jnp.stack(
+        [g_sd * sign * (p3[i] - cp[i]) * inv for i in range(3)], axis=0
+    )
+    return gp, None, None, None
+
+
+ericson_signed_select_pallas.defvjp(_signed_fwd, _signed_bwd)
 
 
 def _ericson_select_impl(p3, rows9, cand, interpret, stride):

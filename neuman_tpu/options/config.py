@@ -259,10 +259,13 @@ def add_cli_args(parser: argparse.ArgumentParser, cfg: NeuManConfig):
         elif isinstance(value, float):
             parser.add_argument(f"--{f.name}", type=float, default=value)
         else:
+            # f.type is the typing object (or its string form under
+            # `from __future__ import annotations`) — accept both, else
+            # --render_h etc. silently parse as str and break downstream
             typ = str
-            if f.type in ("Optional[int]",):
+            if f.type in ("Optional[int]", Optional[int]):
                 typ = int
-            elif f.type in ("Optional[float]",):
+            elif f.type in ("Optional[float]", Optional[float]):
                 typ = float
             parser.add_argument(f"--{f.name}", type=typ, default=value)
     return parser

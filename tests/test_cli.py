@@ -119,3 +119,38 @@ def test_cli_full_workflow(synthetic_scene_dir, smpl_data_root, workdir):
     assert "psnr" in proc.stdout and "ssim" in proc.stdout
     out_dir = os.path.join(workdir, "demo", "test_views", os.path.basename(scene))
     assert len(os.listdir(out_dir)) == 1  # one test view in the split
+
+
+def test_cli_optional_typed_flags_parse_to_numbers():
+    """Optional[int]/Optional[float] dataclass fields must parse from the
+    CLI as numbers — dataclasses stores f.type as the typing OBJECT here,
+    and a string-only comparison made --render_h/--render_w parse as str
+    (broke render_360 --render_h 48 with a str/int TypeError)."""
+    from neuman_tpu.options import config as config_module
+
+    opt = config_module.from_cli(
+        ["--render_h", "48", "--render_w", "64", "--lrate_decay", "10"],
+        mode_aware=False,
+    )
+    assert opt.render_h == 48 and isinstance(opt.render_h, int)
+    assert opt.render_size == (48, 64)
+    assert opt.lrate_decay == 10 and isinstance(opt.lrate_decay, int)
+
+
+def test_run_real_parity_dry_run():
+    """tools/run_real_parity.sh --dry-run must execute the full runbook
+    (train a tiny checkpoint -> canonical-360 -> test-view metrics) on the
+    synthetic scene, so the one-command real-data parity script stays
+    green until the released assets land (VERDICT r4 task 8)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "tools", "run_real_parity.sh"),
+         "--dry-run"],
+        capture_output=True, text=True, timeout=1800, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "DRY-RUN OK" in proc.stdout and "psnr" in proc.stdout

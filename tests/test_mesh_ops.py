@@ -271,7 +271,8 @@ def test_planar_warp_matches_dense():
         np.concatenate([pts, np.ones((50, 1), np.float32)], axis=1),
     )[:, :3]
     can_planar, f_id_p, sd_p = mesh_ops.warp_points_to_canonical_diff(
-        jnp.asarray(pts), jnp.asarray(verts), jnp.asarray(T), topo, k=8
+        jnp.asarray(pts), jnp.asarray(verts), jnp.asarray(T), topo, k=8,
+        need_sd=True,
     )
     np.testing.assert_array_equal(np.asarray(f_id_p), np.asarray(f_id_d))
     np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_d), atol=1e-5)
@@ -293,7 +294,7 @@ def test_planar_warp_gradients():
 
     def loss(verts):
         can, f_id, sd = mesh_ops.warp_points_to_canonical_diff(
-            pts, verts, T, topo, k=4
+            pts, verts, T, topo, k=4, need_sd=True
         )
         return jnp.sum(can**2) + jnp.sum(sd)
 
@@ -632,4 +633,74 @@ def test_pallas_grouped_kernel_matches_unstrided_path():
 
     g_p = jax.grad(lambda p: loss(p, True))(pts)
     g_x = jax.grad(lambda p: loss(p, False))(pts)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4)
+
+
+def test_fused_signed_kernel_stride_tables_and_grads():
+    """The opt-in fused Ericson+sign kernel (use_pallas="fused",
+    meshquery._signed_kernel) must match the default path exactly —
+    values at stride 1 and 4, with and without prebuilt QueryTables, and
+    the custom-VJP gradient w.r.t. the query points
+    (sign * (p - cp)/|sd|, the envelope gradient the XLA expression
+    yields at the argmin)."""
+    import jax
+
+    from neuman_tpu.utils.synthetic_body import (
+        sample_query_points,
+        synthetic_body_mesh,
+    )
+
+    verts_np, faces_np = synthetic_body_mesh(subdivisions=2)
+    topo = mesh_ops.MeshTopology.build(faces_np, verts_np.shape[0])
+    verts = jnp.asarray(verts_np)
+    base = sample_query_points(verts_np, 64, seed=7)
+    # group-KNN shares one candidate set per 4 CONSECUTIVE points — valid
+    # only for spatially coherent groups (ray samples); build each group
+    # as tiny jitters of one base point
+    rng = np.random.default_rng(8)
+    grouped = (
+        base[:, None, :] + rng.normal(size=(64, 4, 3)).astype(np.float32) * 0.01
+    ).reshape(256, 3)
+    pts = jnp.asarray(grouped)
+    tables = mesh_ops.build_query_tables(verts, topo)
+
+    sd_x, fid_x, _ = mesh_ops.signed_distance(
+        pts, verts, topo, k=4, use_pallas=False
+    )
+    for stride in (1, 4):
+        for tb in (None, tables):
+            sd_p, fid_p, cp_p = mesh_ops.signed_distance(
+                pts, verts, topo, k=4, use_pallas="fused",
+                knn_stride=stride, tables=tb,
+            )
+            label = f"stride={stride} tables={tb is not None}"
+            if stride == 1:
+                # f_id may differ on exact closest-point ties (the two
+                # formulations round d2 differently); sd must not
+                np.testing.assert_allclose(
+                    np.asarray(sd_p), np.asarray(sd_x), atol=1e-5,
+                    err_msg=label,
+                )
+            else:
+                # group-KNN may pick different (equal-distance) candidates;
+                # magnitudes and signs must still agree on this smooth body
+                np.testing.assert_allclose(
+                    np.asarray(sd_p), np.asarray(sd_x), atol=1e-4,
+                    err_msg=label,
+                )
+
+    def f_pallas(p):
+        sd, _, _ = mesh_ops.signed_distance(
+            p, verts, topo, k=4, use_pallas="fused"
+        )
+        return jnp.sum(sd**2)
+
+    def f_xla(p):
+        sd, _, _ = mesh_ops.signed_distance(
+            p, verts, topo, k=4, use_pallas=False
+        )
+        return jnp.sum(sd**2)
+
+    g_p = jax.grad(f_pallas)(pts)
+    g_x = jax.grad(f_xla)(pts)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4)

@@ -159,9 +159,14 @@ if which in ("all", "query"):
     topo = mesh_ops.MeshTopology.build(body.faces, body.num_verts)
     verts = jnp.asarray(body.v_template)
     base = jax.random.normal(jax.random.PRNGKey(7), (R * S, 3)) * 0.3
+    tables = mesh_ops.build_query_tables(verts, topo)
     for stride in (1, 4):
-        def f(pts, stride=stride):
-            sd, f_id, _ = mesh_ops.signed_distance(
-                pts, verts, topo, k=4, knn_stride=stride)
-            return pts + (sd[:, None] * 0.0 + 1e-7)
-        scan_time(f"signed_distance N={R*S} k=4 stride={stride}", f, base)
+        for tb_label, tb in (("", None), ("+tables", tables)):
+            def f(pts, stride=stride, tb=tb):
+                sd, f_id, _ = mesh_ops.signed_distance(
+                    pts, verts, topo, k=4, knn_stride=stride, tables=tb)
+                return pts + (sd[:, None] * 0.0 + 1e-7)
+            scan_time(
+                f"signed_distance N={R*S} k=4 stride={stride}{tb_label}",
+                f, base,
+            )

@@ -132,6 +132,35 @@ def sweep_ericson(failures, quick):
         _case("ericson_select grouped grad C=24 stride=4", run_grad_grouped,
               failures)
 
+    # opt-in fused Ericson+sign kernel (signed_distance use_pallas="fused")
+    # — 9 extra [C, TN] input planes, its own 12.6 MB VMEM budget; sweep
+    # the same C corners so its tile-step-down points stay compilable
+    from neuman_tpu.ops.pallas.meshquery import ericson_signed_select_pallas
+
+    s_cases = [(24, 1, 196608), (48, 1, 262144), (72, 1, 262144),
+               (24, 4, 196608)]
+    if quick:
+        s_cases = [(24, 4, 196608)]
+    for c, st, n in s_cases:
+        def run_s(c=c, st=st, n=n):
+            nq = n // st
+            p3 = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+            rows9 = jnp.asarray(
+                rng.normal(size=(9 * c, nq)).astype(np.float32)
+            )
+            vn9 = jnp.asarray(rng.normal(size=(9 * c, nq)).astype(np.float32))
+            cand = jnp.asarray(
+                rng.integers(0, 100, size=(c, nq)).astype(np.int32)
+            )
+            sd, f_id, cp = jax.jit(
+                lambda p, r, v, cd: ericson_signed_select_pallas(
+                    p, r, v, cd, stride=st
+                )
+            )(p3, rows9, vn9, cand)
+            assert np.isfinite(float(jnp.sum(sd)))
+
+        _case(f"ericson_signed C={c} stride={st} N={n}", run_s, failures)
+
 
 def sweep_bucketed_knn(failures, quick):
     import jax
