@@ -27,6 +27,7 @@ hand-fused Pallas ray-march kernel when available.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -490,10 +491,21 @@ def bench_human_train_step(scan_iters=10, use_pallas=None):
 
     state, losses = multi_step(state)  # compile + warmup
     float(jnp.sum(losses))
+    # Glue attribution hook (tools/profile_step.py): trace the SAME scan
+    # the timing below measures, so per-op device times sum to the
+    # reported step time. Off unless the env var is set — tracing adds
+    # overhead that must never leak into the driver's BENCH numbers.
+    profile_dir = os.environ.get("NEUMAN_PROFILE_DIR")
+    if profile_dir:
+        import jax.profiler
+
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     state, losses = multi_step(state)
     float(jnp.sum(losses))
     dt = (time.time() - t0) / scan_iters
+    if profile_dir:
+        jax.profiler.stop_trace()
     return dt * 1e3
 
 
