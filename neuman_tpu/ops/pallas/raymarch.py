@@ -86,7 +86,7 @@ def _pack_planes(planes, rt):
 
 def nerf_mlp_pallas(
     spec: JoinerSpec, params, px, py, pz, dir_part, compute_dtype=jnp.bfloat16,
-    rays_per_tile=8, interpret=None, dir_planes=None,
+    rays_per_tile=8, interpret=None, dir_planes=None, emit_tape=False,
 ):
     """Fused PE+MLP over planar sample coordinates.
 
@@ -97,7 +97,11 @@ def nerf_mlp_pallas(
       human net after the LBS warp); dir PE + the views matmul run
       in-kernel (pass dir_part=None).
 
-    Returns (sigma [R, S], rgb 3 x [R, S]).
+    Returns (sigma [R, S], rgb 3 x [R, S]); with emit_tape=True returns
+    ((sigma, rgb), tape) where tape is the [depth*W, R*S] post-relu trunk
+    activation stack (compute dtype) for the HBM-tape backward
+    (raymarch_vjp._mlp_bwd), or None when the sample axis had to be
+    padded (the bwd's own padding would misalign the flat lane layout).
     """
     nspec = spec.nerf
     assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
@@ -148,11 +152,14 @@ def nerf_mlp_pallas(
     extra_weights += [b for b in (pos_bvals, dir_bvals) if b is not None]
     n_extra = len(extra_weights)
 
+    write_tape = emit_tape and pad_s == 0
+
     def kernel(pts_ref, *refs):
         nd = len(dir_inputs)
         dir_refs = refs[:nd]
         wrefs = refs[nd : nd + len(weights) + n_extra]
         out_ref = refs[nd + len(weights) + n_extra]
+        tape_ref = refs[nd + len(weights) + n_extra + 1] if write_tape else None
         ei = len(weights)
         if not per_sample:
             seg_t = wrefs[ei][:]  # [RT, TN]
@@ -180,6 +187,9 @@ def nerf_mlp_pallas(
                 wt, h.astype(compute_dtype), preferred_element_type=jnp.float32
             ) + b
             h = jnp.maximum(h, 0.0)
+            if write_tape:
+                w_ = nspec.width
+                tape_ref[i * w_ : (i + 1) * w_] = h.astype(compute_dtype)
             if i in skips:
                 h = jnp.concatenate([pe, h.astype(compute_dtype)], axis=0)
 
@@ -242,18 +252,29 @@ def nerf_mlp_pallas(
         for w in all_weights
     ]
     out_spec = pl.BlockSpec((4, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_specs = [out_spec]
+    out_shapes = [jax.ShapeDtypeStruct((4, n), jnp.float32)]
+    if write_tape:
+        tw = depth * nspec.width
+        out_specs.append(
+            pl.BlockSpec((tw, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((tw, n), compute_dtype))
 
     pts = _pack_planes((px, py, pz), rt)
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[plane_spec] + dir_specs + weight_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        out_specs=out_specs if write_tape else out_spec,
+        out_shape=out_shapes if write_tape else out_shapes[0],
         interpret=interpret,
     )(pts, *dir_inputs, *all_weights)
+    out = outs[0] if write_tape else outs
     sigma = out[0].reshape(r, s)[:, :s_orig]
     rgb = [out[1 + c].reshape(r, s)[:, :s_orig] for c in range(3)]
+    if emit_tape:
+        return (sigma, rgb), (outs[1] if write_tape else None)
     return sigma, rgb
 
 

@@ -75,12 +75,20 @@ def _bvals_arrays(pe_spec):
 
 def _mlp_bwd(
     spec: JoinerSpec, params, planes, dir_inputs, g_sigma, g_rgb,
-    compute_dtype, rays_per_tile, per_sample, interpret,
+    compute_dtype, rays_per_tile, per_sample, interpret, tape=None,
 ):
     """Backward pass. planes: 3 x [R, S]; dir_inputs: 3 x [R, S] planes
     (per_sample) or a [R, W/2] `dir_projection` (per-ray). Returns
     (d_params_pytree_leaves..., d_planes 3 x [R, S], d_dir) with d_dir the
-    matching cotangent ([R, S] planes or [R, W/2])."""
+    matching cotangent ([R, S] planes or [R, W/2]).
+
+    tape: optional [depth*W, R*S] post-relu trunk activations from the
+    forward (`nerf_mlp_pallas(emit_tape=True)`, compute dtype). When given
+    the kernel streams the tape from HBM instead of recomputing the trunk
+    matmuls — the DMA pipelines behind the MXU-bound dW/d_h contractions,
+    trading ~0.4 GB of (overlappable) traffic per cached layer for 1/3 of
+    the backward's matmul FLOPs. Values are bit-identical to the
+    recompute path (same bf16 post-relu activations either way)."""
     nspec = spec.nerf
     depth, width, skips = nspec.depth, nspec.width, nspec.skips
     half = width // 2
@@ -91,12 +99,24 @@ def _mlp_bwd(
     cd = compute_dtype
     if interpret and cd == jnp.bfloat16:
         cd = jnp.float32  # CPU interpret mode: unfused bf16 dots unsupported
-    # lane-budgeted backward tile (f32 doubles the activation footprint)
+        if tape is not None:
+            tape = tape.astype(cd)
+    # lane-budgeted backward tile (f32 doubles the activation footprint;
+    # the streamed tape block [depth*W, TN] halves it again)
     target_tn = 512 if cd == jnp.float32 else 1024
+    if tape is not None:
+        target_tn //= 2
     if interpret:
         rt, pad_s = raymarch.pick_tile(r, s_orig, rays_per_tile)
     else:
         rt, pad_s = _pick_bwd_tile(r, s_orig, rays_per_tile * 4, target_tn)
+    if pad_s and tape is not None:
+        # sample-axis padding would misalign the tape's flat lane layout;
+        # fall back to the recompute path for this shape
+        tape = None
+        if not interpret:
+            target_tn *= 2
+            rt, pad_s = _pick_bwd_tile(r, s_orig, rays_per_tile * 4, target_tn)
     if pad_s:
         epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
         zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)))
@@ -164,6 +184,10 @@ def _mlp_bwd(
     def kernel(*refs):
         pts_ref, dir_ref, g_ref = refs[0], refs[1], refs[2]
         base = 3
+        tape_ref = None
+        if tape is not None:
+            tape_ref = refs[3]
+            base = 4
         wrefs = refs[base : base + n_w]
         brefs = refs[base + n_w : base + n_w + n_b]
         erefs = refs[base + n_w + n_b : base + n_w + n_b + len(extra)]
@@ -202,7 +226,7 @@ def _mlp_bwd(
 
         ones = jnp.ones((1, tn), cd)
 
-        # ---- forward recompute (activations stay in VMEM) ----
+        # ---- forward activations: streamed tape or recompute-in-VMEM ----
         axes = pts_ref[0]  # [3, TN] f32, whole-ray lane tile
         pe32 = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv)
         pe = pe32.astype(cd)
@@ -210,8 +234,11 @@ def _mlp_bwd(
         h = pe
         for i in range(depth):
             hins.append(h)
-            pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
-            post = jnp.maximum(pre, 0.0).astype(cd)
+            if tape_ref is not None:
+                post = tape_ref[i * width : (i + 1) * width].astype(cd)
+            else:
+                pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
+                post = jnp.maximum(pre, 0.0).astype(cd)
             posts.append(post)
             h = jnp.concatenate([pe, post], axis=0) if i in skips else post
         h_final = h  # == posts[-1] (no skip after the last layer here)
@@ -300,8 +327,16 @@ def _mlp_bwd(
             memory_space=pltpu.VMEM,
         )
 
+    tape_specs, tape_args = [], []
+    if tape is not None:
+        tape_specs = [
+            pl.BlockSpec(
+                (depth * width, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        tape_args = [tape]
     in_specs = (
-        [plane_spec] + dir_specs + [g_spec]
+        [plane_spec] + dir_specs + [g_spec] + tape_specs
         + [full_spec(w) for w in w_list]
         + [full_spec(b) for b in b_list]
         + [full_spec(e) for e in extra]
@@ -340,7 +375,7 @@ def _mlp_bwd(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(pts, dir_packed, g, *w_list, *b_list, *extra)
+    )(pts, dir_packed, g, *tape_args, *w_list, *b_list, *extra)
 
     def unpack(o):  # [G, 3, TN] -> 3 x [R, s_orig]
         return [o[:, a].reshape(r, s)[:, :s_orig] for a in range(3)]
@@ -381,7 +416,7 @@ def _mlp_bwd(
 
 def make_mlp_vjp(
     spec: JoinerSpec, compute_dtype=jnp.bfloat16, rays_per_tile=8,
-    per_sample=True, interpret=None,
+    per_sample=True, interpret=None, tape_mode="recompute",
 ):
     """Differentiable fused MLP: returns f(params, px, py, pz, *dir_args)
     -> (sigma [R, S], rgb 3 x [R, S]) with a Pallas forward AND backward.
@@ -390,8 +425,16 @@ def make_mlp_vjp(
     human net). per_sample=False: dir_args = (dir_part [R, W/2],) — the
     per-ray `raymarch.dir_projection` output, whose own VJP (to dirs and
     the dir rows of views_linears) runs in XLA outside the kernel.
+
+    tape_mode: "recompute" (backward re-derives the trunk activations in
+    VMEM — zero extra HBM traffic, 4x-fwd FLOP factor) or "hbm" (forward
+    writes the post-relu trunk tape to HBM, backward streams it — 3x-fwd
+    FLOPs, ~0.8 GB/step overlappable traffic at production sizes). Both
+    produce bit-identical gradients; pick by measurement
+    (tools/bench_step_parts.py).
     """
     assert spec.nerf.use_viewdirs
+    use_tape = tape_mode == "hbm"
 
     if per_sample:
 
@@ -403,16 +446,22 @@ def make_mlp_vjp(
             )
 
         def fwd(params, px, py, pz, d0, d1, d2):
-            return f(params, px, py, pz, d0, d1, d2), (
-                params, px, py, pz, d0, d1, d2,
-            )
+            if use_tape:
+                out, tape = raymarch.nerf_mlp_pallas(
+                    spec, params, px, py, pz, None, compute_dtype,
+                    rays_per_tile, interpret=interpret,
+                    dir_planes=(d0, d1, d2), emit_tape=True,
+                )
+            else:
+                out, tape = f(params, px, py, pz, d0, d1, d2), None
+            return out, (params, px, py, pz, d0, d1, d2, tape)
 
         def bwd(res, g):
-            params, px, py, pz, d0, d1, d2 = res
+            params, px, py, pz, d0, d1, d2, tape = res
             g_sigma, g_rgb = g
             d_params, d_planes, d_dir = _mlp_bwd(
                 spec, params, (px, py, pz), (d0, d1, d2), g_sigma, g_rgb,
-                compute_dtype, rays_per_tile, True, interpret,
+                compute_dtype, rays_per_tile, True, interpret, tape=tape,
             )
             return (d_params, *d_planes, *d_dir)
 
@@ -427,14 +476,21 @@ def make_mlp_vjp(
         )
 
     def fwd(params, px, py, pz, dir_part):
-        return f(params, px, py, pz, dir_part), (params, px, py, pz, dir_part)
+        if use_tape:
+            out, tape = raymarch.nerf_mlp_pallas(
+                spec, params, px, py, pz, dir_part, compute_dtype,
+                rays_per_tile, interpret=interpret, emit_tape=True,
+            )
+        else:
+            out, tape = f(params, px, py, pz, dir_part), None
+        return out, (params, px, py, pz, dir_part, tape)
 
     def bwd(res, g):
-        params, px, py, pz, dir_part = res
+        params, px, py, pz, dir_part, tape = res
         g_sigma, g_rgb = g
         d_params, d_planes, d_dir = _mlp_bwd(
             spec, params, (px, py, pz), (dir_part,), g_sigma, g_rgb,
-            compute_dtype, rays_per_tile, False, interpret,
+            compute_dtype, rays_per_tile, False, interpret, tape=tape,
         )
         return (d_params, *d_planes, d_dir)
 

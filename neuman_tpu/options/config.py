@@ -153,6 +153,12 @@ class NeuManConfig:
     # exact trig elsewhere. Only applies when the bands are an exact
     # octave ladder (the reference's 2**linspace config always is).
     pe_recurrence: Optional[bool] = None
+    # custom-VJP MLP backward strategy: "recompute" re-derives the trunk
+    # activations in VMEM (no extra HBM traffic, 4x-fwd FLOPs), "hbm"
+    # streams a forward-written activation tape (3x-fwd FLOPs, the tape
+    # DMA pipelines behind the MXU-bound contractions). Bit-identical
+    # gradients either way; a measurement knob, not a semantic one.
+    mlp_tape: str = "recompute"
 
     # ---- derived (set by finalize) ----
     out: Optional[str] = None

@@ -83,7 +83,10 @@ def bkg_loss_fn(
         from neuman_tpu.ops.pallas import raymarch as _rm
         from neuman_tpu.ops.pallas import raymarch_vjp as _rv
 
-        _f_ray = _rv.make_mlp_vjp(spec, compute_dtype, per_sample=False)
+        _f_ray = _rv.make_mlp_vjp(
+            spec, compute_dtype, per_sample=False,
+            tape_mode=getattr(opt, "mlp_tape", "recompute"),
+        )
 
         def net_apply(prm, planes):
             dirp = _rm.dir_projection(spec, prm, direction, compute_dtype)

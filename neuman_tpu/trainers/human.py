@@ -502,8 +502,11 @@ def make_human_loss_fn(spec, opt, ctx, parity_inject=None):
         from neuman_tpu.ops.pallas import raymarch as _raymarch
         from neuman_tpu.ops.pallas import raymarch_vjp as _raymarch_vjp
 
-        _mlp_smp = _raymarch_vjp.make_mlp_vjp(spec.human, cd)
-        _mlp_ray = _raymarch_vjp.make_mlp_vjp(spec.human, cd, per_sample=False)
+        _tape = getattr(opt, "mlp_tape", "recompute")
+        _mlp_smp = _raymarch_vjp.make_mlp_vjp(spec.human, cd, tape_mode=_tape)
+        _mlp_ray = _raymarch_vjp.make_mlp_vjp(
+            spec.human, cd, per_sample=False, tape_mode=_tape
+        )
         _mlp_off = _raymarch_vjp.make_offset_mlp_vjp(spec.offset, cd)
 
         def human_mlp_smp(prm, pl, d):

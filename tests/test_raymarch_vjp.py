@@ -227,3 +227,84 @@ def test_pick_bwd_tile_prefers_padding_over_budget_blowout():
     # smaller lane count, never an arbitrary over-budget divisor tile.
     rt, pad = raymarch_vjp._pick_bwd_tile(4, 2000, 8, 512)
     assert rt == 1 and (2000 + pad) % 128 == 0
+
+
+@pytest.mark.parametrize("per_sample", [True, False])
+def test_tape_mode_matches_recompute(per_sample):
+    """tape_mode="hbm" must be BIT-identical to "recompute": the tape
+    stores the same compute-dtype post-relu activations the backward
+    kernel would re-derive, so every contraction sees identical inputs."""
+    spec = _spec("rotate")
+    params, planes, dir_planes, dirs, g_sig, g_rgb = _setup(spec)
+    kw = dict(compute_dtype=jnp.float32, per_sample=per_sample,
+              interpret=True)
+    f_rec = raymarch_vjp.make_mlp_vjp(spec, tape_mode="recompute", **kw)
+    f_hbm = raymarch_vjp.make_mlp_vjp(spec, tape_mode="hbm", **kw)
+
+    def make_loss(f):
+        if per_sample:
+            return lambda p, pl_, d: _loss_from(f(p, *pl_, *d), g_sig, g_rgb)
+
+        def loss(p, pl_, d):
+            dirp = raymarch.dir_projection(spec, p, d, jnp.float32)
+            return _loss_from(f(p, *pl_, dirp), g_sig, g_rgb)
+
+        return loss
+
+    d_arg = dir_planes if per_sample else dirs
+    g_rec = jax.grad(make_loss(f_rec), argnums=(0, 1, 2))(
+        params, planes, d_arg
+    )
+    g_hbm = jax.grad(make_loss(f_hbm), argnums=(0, 1, 2))(
+        params, planes, d_arg
+    )
+    _assert_trees_close(g_rec, g_hbm, rtol=0.0, atol=0.0, what="tape-mode")
+
+
+def test_tape_mode_padded_shape_falls_back():
+    """A sample count that forces sample-axis padding must silently fall
+    back to the recompute backward (the flat tape layout would misalign)
+    and still produce correct gradients."""
+    spec = _spec("posenc")
+    params, planes, dir_planes, _, g_sig, g_rgb = _setup(spec, r=4, s=20)
+    f_hbm = raymarch_vjp.make_mlp_vjp(
+        spec, compute_dtype=jnp.float32, interpret=True, tape_mode="hbm"
+    )
+
+    def loss_pallas(p, pl_, d):
+        return _loss_from(f_hbm(p, *pl_, *d), g_sig, g_rgb)
+
+    def loss_xla(p, pl_, d):
+        out = fused.mlp_planar(spec, p, pl_, d, jnp.float32,
+                               dirs_per_ray=False)
+        return _loss_from(out, g_sig, g_rgb)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, planes, dir_planes)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, planes, dir_planes)
+    _assert_trees_close(gp[0], gx[0], what="params (padded tape fallback)")
+    _assert_trees_close(gp[1], gx[1], what="planes (padded tape fallback)")
+
+
+def test_emit_tape_contents():
+    """The emitted tape rows are the post-relu trunk activations (checked
+    against a plain recompute of the fwd math)."""
+    spec = _spec("posenc")
+    params, planes, dir_planes, _, _, _ = _setup(spec, r=4, s=32)
+    out, tape = raymarch.nerf_mlp_pallas(
+        spec, params, *planes, None, jnp.float32, interpret=True,
+        dir_planes=tuple(dir_planes), emit_tape=True,
+    )
+    assert tape is not None
+    r, s = planes[0].shape
+    axes = jnp.stack([p.reshape(-1) for p in planes], axis=0)  # [3, N]
+    pe = fused.pe_rows(spec.pos_pe, axes)
+    h = pe
+    width = spec.nerf.width
+    for i, p in enumerate(params["pts_linears"]):
+        h = jnp.maximum(p["w"].T @ h + p["b"][:, None], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(tape[i * width : (i + 1) * width]), np.asarray(h),
+            rtol=1e-5, atol=1e-5, err_msg=f"tape layer {i}",
+        )
+        if i in spec.nerf.skips:
+            h = jnp.concatenate([pe, h], axis=0)

@@ -237,13 +237,14 @@ def test_turn_smpl_gradient_off():
     np.testing.assert_allclose(m[0], 1.0)  # pelvis always trainable
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("use_pallas", [False, True, "tape"])
 def test_human_loss_planar_matches_reference(use_pallas):
     """The planarized human loss equals the reference-shaped formulation.
 
     use_pallas=True additionally routes the human MLPs through the
     custom-VJP Pallas pair (interpret mode on CPU) — values AND gradients
-    must still match the reference formulation."""
+    must still match the reference formulation. "tape" further switches
+    the pair to the HBM-tape backward (mlp_tape="hbm")."""
     import jax.numpy as jnp
 
     from neuman_tpu.parallel.dryrun import synthetic_arrays, tiny_human_config
@@ -258,7 +259,9 @@ def test_human_loss_planar_matches_reference(use_pallas):
 
     cfg = tiny_human_config(1)
     cfg.compute_dtype = "float32"
-    cfg.use_pallas = use_pallas
+    cfg.use_pallas = bool(use_pallas)
+    if use_pallas == "tape":
+        cfg.mlp_tape = "hbm"
     cfg.rays_per_batch = 64
     num_views = 4
     body = smpl_module.synthetic_smpl_model(num_verts=64, num_joints=24)
