@@ -364,6 +364,9 @@ def bench_bkg_train_step(scan_iters=10, use_pallas=None):
     cfg.use_pallas = (
         jax.default_backend() == "tpu" if use_pallas is None else use_pallas
     )
+    # A/B knob for the VJP backward strategy (tools/bench_step_parts.py):
+    # same objective, bit-identical grads, pick by measurement
+    cfg.mlp_tape = os.environ.get("NEUMAN_MLP_TAPE", cfg.mlp_tape)
     num_views = 4
     arrays = synthetic_arrays(num_views=num_views, h=270, w=480, num_verts=64)
     spec = nerf_module.build_nerf_specs(cfg)
@@ -427,6 +430,7 @@ def bench_human_train_step(scan_iters=10, use_pallas=None):
 
     cfg = apply_mode_defaults(NeuManConfig(), "smpl_and_offset")
     cfg.geo_threshold = 0.25
+    cfg.mlp_tape = os.environ.get("NEUMAN_MLP_TAPE", cfg.mlp_tape)
     # production TPU path: Pallas bkg fwd + custom-VJP human MLP pair
     cfg.use_pallas = (
         jax.default_backend() == "tpu" if use_pallas is None else use_pallas

@@ -504,15 +504,20 @@ def make_mlp_vjp(
 
 
 def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
-                     interpret):
+                     interpret, emit_tape=False):
     """Fused PE+trunk+linear for OffsetNetSpec-shaped nets.
 
     planes: D x [R, S] input coordinate planes (D = 4 for (x, y, z, t)).
     Returns raw outputs as a [O, N] array (scale modes applied by the
     caller — the ramp scale is a traced scalar). Ref: vanilla.py:169-177.
+
+    emit_tape=True additionally returns the [depth*W, N] post-relu trunk
+    tape (compute dtype) for the HBM-tape backward, or None when the
+    sample axis had to be padded.
     """
     nspec = spec.nerf
     depth, skips = nspec.depth, nspec.skips
+    width = nspec.width
     n_out = nspec.output_ch
     r, s_orig = planes[0].shape
     if interpret is None:
@@ -527,6 +532,7 @@ def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
     tn = rt * s
     n = r * s
     d_in = len(planes)
+    write_tape = emit_tape and pad_s == 0
     pts = raymarch._pack_planes(tuple(planes), rt)  # [G, D, TN]
 
     w_list = []
@@ -542,6 +548,7 @@ def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
     def kernel(pts_ref, *refs):
         wrefs = refs[: len(w_list) + len(extra)]
         out_ref = refs[len(w_list) + len(extra)]
+        tape_ref = refs[len(w_list) + len(extra) + 1] if write_tape else None
         p_bv = wrefs[len(w_list)][:] if pos_bv is not None else None
         axes = pts_ref[0]  # [D, TN]
         pe = fused.pe_rows(spec.pos_pe, axes, bvals=p_bv).astype(cd)
@@ -552,6 +559,8 @@ def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
                 wt, h.astype(cd), preferred_element_type=jnp.float32
             ) + b
             h = jnp.maximum(h, 0.0)
+            if write_tape:
+                tape_ref[i * width : (i + 1) * width] = h.astype(cd)
             if i in skips:
                 h = jnp.concatenate([pe, h.astype(cd)], axis=0)
         wt_o, b_o = wrefs[2 * depth][:], wrefs[2 * depth + 1][:]
@@ -569,22 +578,40 @@ def _offset_fwd_impl(spec, params, planes, compute_dtype, rays_per_tile,
             memory_space=pltpu.VMEM,
         )
 
-    out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((n_out, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((n_out, n), jnp.float32)]
+    if write_tape:
+        out_specs.append(
+            pl.BlockSpec(
+                (depth * width, tn), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((depth * width, n), cd)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(r // rt,),
         in_specs=[plane_spec] + [full_spec(w) for w in w_list + extra],
-        out_specs=pl.BlockSpec(
-            (n_out, tn), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_out, n), jnp.float32),
+        out_specs=out_specs if write_tape else out_specs[0],
+        out_shape=out_shapes if write_tape else out_shapes[0],
         interpret=interpret,
     )(pts, *w_list, *extra)
-    return [out[c].reshape(r, s)[:, :s_orig] for c in range(n_out)]
+    out = outs[0] if write_tape else outs
+    rows = [out[c].reshape(r, s)[:, :s_orig] for c in range(n_out)]
+    if emit_tape:
+        return rows, (outs[1] if write_tape else None)
+    return rows
 
 
 def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
-                interpret):
-    """Backward for `_offset_fwd_impl`: recompute-in-VMEM, like _mlp_bwd."""
+                interpret, tape=None):
+    """Backward for `_offset_fwd_impl`: recompute-in-VMEM, like _mlp_bwd;
+    with `tape` ([depth*W, N] post-relu trunk stack from the forward) the
+    trunk recompute matmuls are replaced by streamed loads."""
     nspec = spec.nerf
     depth, width, skips = nspec.depth, nspec.width, nspec.skips
     n_out = nspec.output_ch
@@ -594,10 +621,16 @@ def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
     cd = compute_dtype
     if interpret and cd == jnp.bfloat16:
         cd = jnp.float32
+        if tape is not None:
+            tape = tape.astype(cd)
     rpt_eff = rays_per_tile
     if cd == jnp.float32 and not interpret:
         rpt_eff = max(1, rays_per_tile // 2)
+    if tape is not None and not interpret:
+        rpt_eff = max(1, rpt_eff // 2)  # tape block halves the lane budget
     rt, pad_s = raymarch.pick_tile(r, s_orig, rpt_eff)
+    if pad_s and tape is not None:
+        tape = None  # flat tape layout misaligns under sample padding
     if pad_s:
         planes = [jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge") for a in planes]
         g_rows = [jnp.pad(c, ((0, 0), (0, pad_s))) for c in g_rows]
@@ -626,6 +659,10 @@ def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
     n_b = len(b_list)
 
     def kernel(pts_ref, g_ref, *refs):
+        tape_ref = None
+        if tape is not None:
+            tape_ref = refs[0]
+            refs = refs[1:]
         wrefs = refs[:n_w]
         brefs = refs[n_w : n_w + n_b]
         erefs = refs[n_w + n_b : n_w + n_b + len(extra)]
@@ -663,8 +700,11 @@ def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
         h = pe
         for i in range(depth):
             hins.append(h)
-            pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
-            post = jnp.maximum(pre, 0.0).astype(cd)
+            if tape_ref is not None:
+                post = tape_ref[i * width : (i + 1) * width].astype(cd)
+            else:
+                pre = dot_cd(wrefs[2 * i][:], h) + brefs[i][:]
+                post = jnp.maximum(pre, 0.0).astype(cd)
             posts.append(post)
             h = jnp.concatenate([pe, post], axis=0) if i in skips else post
         h_final = h
@@ -712,15 +752,23 @@ def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
         )
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
 
+    tape_specs, tape_args = [], []
+    if tape is not None:
+        tape_specs = [
+            pl.BlockSpec(
+                (depth * width, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        tape_args = [tape]
     outs = pl.pallas_call(
         kernel,
         grid=(r // rt,),
-        in_specs=[plane_spec, g_spec]
+        in_specs=[plane_spec, g_spec] + tape_specs
         + [full_spec(a) for a in w_list + b_list + extra],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(pts, g, *w_list, *b_list, *extra)
+    )(pts, g, *tape_args, *w_list, *b_list, *extra)
 
     d_planes = [
         outs[0][:, a].reshape(r, s)[:, :s_orig] for a in range(d_in)
@@ -738,11 +786,13 @@ def _offset_bwd(spec, params, planes, g_rows, compute_dtype, rays_per_tile,
 
 def make_offset_mlp_vjp(
     spec, compute_dtype=jnp.bfloat16, rays_per_tile=8, interpret=None,
+    tape_mode="recompute",
 ):
     """Differentiable fused no-viewdirs MLP: f(params, *planes) -> list of
     output planes (raw, pre-scale). For OffsetNetSpec (D=4 input) and any
-    use_viewdirs=False NeRFSpec."""
+    use_viewdirs=False NeRFSpec. tape_mode as in make_mlp_vjp."""
     assert not spec.nerf.use_viewdirs
+    use_tape = tape_mode == "hbm"
 
     @jax.custom_vjp
     def f(params, *planes):
@@ -752,13 +802,20 @@ def make_offset_mlp_vjp(
         )
 
     def fwd(params, *planes):
-        return f(params, *planes), (params, planes)
+        if use_tape:
+            out, tape = _offset_fwd_impl(
+                spec, params, list(planes), compute_dtype, rays_per_tile,
+                interpret, emit_tape=True,
+            )
+        else:
+            out, tape = f(params, *planes), None
+        return out, (params, planes, tape)
 
     def bwd(res, g):
-        params, planes = res
+        params, planes, tape = res
         d_params, d_planes = _offset_bwd(
             spec, params, list(planes), list(g), compute_dtype,
-            rays_per_tile, interpret,
+            rays_per_tile, interpret, tape=tape,
         )
         return (d_params, *d_planes)
 

@@ -507,7 +507,9 @@ def make_human_loss_fn(spec, opt, ctx, parity_inject=None):
         _mlp_ray = _raymarch_vjp.make_mlp_vjp(
             spec.human, cd, per_sample=False, tape_mode=_tape
         )
-        _mlp_off = _raymarch_vjp.make_offset_mlp_vjp(spec.offset, cd)
+        _mlp_off = _raymarch_vjp.make_offset_mlp_vjp(
+            spec.offset, cd, tape_mode=_tape
+        )
 
         def human_mlp_smp(prm, pl, d):
             return _mlp_smp(prm, pl[0], pl[1], pl[2], d[0], d[1], d[2])

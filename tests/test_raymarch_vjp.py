@@ -308,3 +308,34 @@ def test_emit_tape_contents():
         )
         if i in spec.nerf.skips:
             h = jnp.concatenate([pe, h], axis=0)
+
+
+def test_offset_tape_mode_matches_recompute():
+    """Offset-net HBM-tape backward is bit-identical to recompute."""
+    from neuman_tpu.models.embedder import make_embedder
+
+    pos_pe = make_embedder(4, 9, 10, mapping="posenc")
+    nspec = nerf_module.NeRFSpec(
+        depth=8, width=256, input_ch=pos_pe.out_dim, input_ch_views=0,
+        output_ch=3, use_viewdirs=False, scale_type="linear",
+    )
+    spec = nerf_module.OffsetNetSpec(pos_pe=pos_pe, nerf=nspec)
+    params = nerf_module.init_nerf_params(jax.random.PRNGKey(0), nspec)
+    rng = np.random.default_rng(0)
+    r, s = 8, 16
+    planes = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32)
+              for _ in range(4)]
+    g = [jnp.asarray(rng.normal(size=(r, s)), jnp.float32) for _ in range(3)]
+    kw = dict(compute_dtype=jnp.float32, interpret=True)
+    f_rec = raymarch_vjp.make_offset_mlp_vjp(spec, tape_mode="recompute", **kw)
+    f_hbm = raymarch_vjp.make_offset_mlp_vjp(spec, tape_mode="hbm", **kw)
+
+    def make_loss(f):
+        return lambda p, pl_: sum(
+            jnp.sum(f(p, *pl_)[c] * g[c]) for c in range(3)
+        )
+
+    g_rec = jax.grad(make_loss(f_rec), argnums=(0, 1))(params, planes)
+    g_hbm = jax.grad(make_loss(f_hbm), argnums=(0, 1))(params, planes)
+    _assert_trees_close(g_rec, g_hbm, rtol=0.0, atol=0.0,
+                        what="offset tape-mode")
