@@ -113,24 +113,33 @@ if which in ("all", "offset"):
 
 if which in ("all", "mlpvjp"):
     # the batched canonical-net application: 4 concatenated [R, S] apps
-    # through the custom-VJP Pallas pair (the step's largest MLP term)
+    # through the custom-VJP Pallas pair (the step's largest MLP term),
+    # under both backward strategies (recompute-in-VMEM vs HBM tape)
     from neuman_tpu.ops.pallas import raymarch_vjp
-    mlp = raymarch_vjp.make_mlp_vjp(spec.human, jnp.bfloat16)
-    for mult in (1, 4):
-        planes = [
-            jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(6), a),
-                              (R * mult, S)) * 0.3
-            for a in range(6)
-        ]
-        def f(p0, planes=planes):
-            def loss(prm):
-                sg, rgb = mlp(prm, planes[0], planes[1], planes[2],
-                              planes[3], planes[4], planes[5])
-                return jnp.sum(sg) + sum(jnp.sum(c) for c in rgb)
-            g = jax.grad(loss)(p0)
-            return jax.tree_util.tree_map(lambda a, b: a + b * 1e-9, p0, g)
-        scan_time(f"canonical MLP fwd+bwd [{R*mult}, {S}]", f,
-                  params["coarse_human_net"])
+    for tape_mode in ("recompute", "hbm"):
+        mlp = raymarch_vjp.make_mlp_vjp(
+            spec.human, jnp.bfloat16, tape_mode=tape_mode
+        )
+        for mult in (1, 4):
+            planes = [
+                jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(6), a),
+                    (R * mult, S)) * 0.3
+                for a in range(6)
+            ]
+            def f(p0, planes=planes, mlp=mlp):
+                def loss(prm):
+                    sg, rgb = mlp(prm, planes[0], planes[1], planes[2],
+                                  planes[3], planes[4], planes[5])
+                    return jnp.sum(sg) + sum(jnp.sum(c) for c in rgb)
+                g = jax.grad(loss)(p0)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a + b * 1e-9, p0, g
+                )
+            scan_time(
+                f"canonical MLP fwd+bwd [{R*mult}, {S}] tape={tape_mode}",
+                f, params["coarse_human_net"],
+            )
 
 if which in ("all", "warpbwd"):
     # the training warp fwd+bwd: the production path wraps it in

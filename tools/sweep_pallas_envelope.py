@@ -257,11 +257,14 @@ def sweep_mlp_vjp(failures, quick):
     rng = np.random.default_rng(3)
     r = 1536
     s_values = [64, 128] if not quick else [128]
+    tape_modes = ("recompute", "hbm") if not quick else ("recompute",)
     for s in s_values:
         for per_sample in (True, False):
-            def run(s=s, per_sample=per_sample):
+          for tape_mode in tape_modes:
+            def run(s=s, per_sample=per_sample, tape_mode=tape_mode):
                 f = raymarch_vjp.make_mlp_vjp(
-                    spec.human, jnp.bfloat16, per_sample=per_sample
+                    spec.human, jnp.bfloat16, per_sample=per_sample,
+                    tape_mode=tape_mode,
                 )
                 planes = [
                     jnp.asarray(rng.normal(size=(r, s)).astype(np.float32))
@@ -288,7 +291,10 @@ def sweep_mlp_vjp(failures, quick):
                 leaf = jax.tree_util.tree_leaves(g)[0]
                 assert np.isfinite(float(jnp.sum(leaf)))
 
-            _case(f"mlp_vjp S={s} per_sample={per_sample}", run, failures)
+            _case(
+                f"mlp_vjp S={s} per_sample={per_sample} tape={tape_mode}",
+                run, failures,
+            )
 
 
 def sweep_offset_vjp(failures, quick):
@@ -302,22 +308,25 @@ def sweep_offset_vjp(failures, quick):
     rng = np.random.default_rng(4)
     r, s = 1536, 128
 
-    def run():
-        f = raymarch_vjp.make_offset_mlp_vjp(spec.offset, jnp.bfloat16)
-        planes = [
-            jnp.asarray(rng.normal(size=(r, s)).astype(np.float32))
-            for _ in range(4)  # xyzt
-        ]
+    for tape_mode in ("recompute", "hbm") if not quick else ("recompute",):
+        def run(tape_mode=tape_mode):
+            f = raymarch_vjp.make_offset_mlp_vjp(
+                spec.offset, jnp.bfloat16, tape_mode=tape_mode
+            )
+            planes = [
+                jnp.asarray(rng.normal(size=(r, s)).astype(np.float32))
+                for _ in range(4)  # xyzt
+            ]
 
-        def loss(p):
-            out = f(p, *planes)
-            return sum(jnp.sum(o) for o in out)
+            def loss(p):
+                out = f(p, *planes)
+                return sum(jnp.sum(o) for o in out)
 
-        g = jax.jit(jax.grad(loss))(prm)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        assert np.isfinite(float(jnp.sum(leaf)))
+            g = jax.jit(jax.grad(loss))(prm)
+            leaf = jax.tree_util.tree_leaves(g)[0]
+            assert np.isfinite(float(jnp.sum(leaf)))
 
-    _case("offset_mlp_vjp S=128", run, failures)
+        _case(f"offset_mlp_vjp S=128 tape={tape_mode}", run, failures)
 
 
 def main():
