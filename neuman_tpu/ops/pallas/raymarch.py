@@ -67,6 +67,24 @@ def pick_tile(r, s, rays_per_tile):
     return rt, pad_s
 
 
+def pick_tile_tape(r, s, rays_per_tile, tape_rows, itemsize):
+    """Tile for tape-emitting forwards, or None when no legal tile fits.
+
+    The [tape_rows, TN] tape output block is double-buffered by Mosaic's
+    scoped-VMEM allocator, so an unconstrained TN blows the 16 MB limit
+    (measured on v5e: 16.04M scoped at TN=1024/f32/tape_rows=2048 — 36.5K
+    over — for the viewdirs forward; 16.79M for the 4-plane offset
+    forward). Cap the tape block at ~4 MB per buffer so activations,
+    weights and the main output keep their headroom. Only divisor-legal,
+    unpadded tiles qualify (sample padding misaligns the flat tape
+    layout); the caller falls back to tapeless on None."""
+    max_tn = max(128, (4 * 1024 * 1024) // (tape_rows * itemsize))
+    for rt in range(min(rays_per_tile, r), 0, -1):
+        if r % rt == 0 and (rt * s) % 128 == 0 and rt * s <= max_tn:
+            return rt
+    return None
+
+
 def _seg_matrix(rt, s, dtype):
     """[RT, RT*S] 0/1 matrix: row r marks ray r's lanes."""
     seg = np.zeros((rt, rt * s), np.float32)
@@ -107,7 +125,27 @@ def nerf_mlp_pallas(
     assert nspec.use_viewdirs, "pallas path currently covers the viewdirs MLP"
     per_sample = dir_planes is not None
     r, s_orig = px.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and compute_dtype == jnp.bfloat16:
+        # CPU's unfused DotThunk rejects bf16 x bf16 -> f32; interpret-mode
+        # kernels lower dots unfused, so promote (TPU behavior unchanged).
+        compute_dtype = jnp.float32
     rt, pad_s = pick_tile(r, s_orig, rays_per_tile)
+    if emit_tape and pad_s == 0 and not interpret:
+        # the tape output block's double buffering dominates scoped VMEM;
+        # re-pick under the tape budget or drop the tape for this shape
+        rt_tape = pick_tile_tape(
+            r, s_orig, rays_per_tile,
+            nspec.depth * nspec.width, jnp.dtype(compute_dtype).itemsize,
+        )
+        if rt_tape is None:
+            emit_tape_ok = False
+        else:
+            emit_tape_ok = True
+            rt = rt_tape
+    else:
+        emit_tape_ok = pad_s == 0
     if pad_s:
         epad = lambda a: jnp.pad(a, ((0, 0), (0, pad_s)), mode="edge")
         px, py, pz = epad(px), epad(py), epad(pz)
@@ -116,12 +154,6 @@ def nerf_mlp_pallas(
     s = s_orig + pad_s
     tn = rt * s
     n = r * s
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if interpret and compute_dtype == jnp.bfloat16:
-        # CPU's unfused DotThunk rejects bf16 x bf16 -> f32; interpret-mode
-        # kernels lower dots unfused, so promote (TPU behavior unchanged).
-        compute_dtype = jnp.float32
 
     weights = _weights_t(params, True, nspec.width, compute_dtype)
     if per_sample:
@@ -130,7 +162,10 @@ def nerf_mlp_pallas(
         dir_inputs = [_pack_planes(dir_planes, rt)]
     else:
         w_vd_t = None
-        dir_inputs = [dir_part]
+        # [G, RT, W/2]: trailing dims equal the array dims, so ANY rt is a
+        # legal block (a 2D [rt, W/2] block violates the 8-sublane rule at
+        # the tape-capped rt=4) — same packing as the backward's dirp.
+        dir_inputs = [dir_part.reshape(r // rt, rt, dir_part.shape[1])]
     depth = nspec.depth
     skips = nspec.skips
     # 'rotate' PE bases must be kernel INPUTS (Pallas rejects captured
@@ -152,7 +187,7 @@ def nerf_mlp_pallas(
     extra_weights += [b for b in (pos_bvals, dir_bvals) if b is not None]
     n_extra = len(extra_weights)
 
-    write_tape = emit_tape and pad_s == 0
+    write_tape = emit_tape and emit_tape_ok
 
     def kernel(pts_ref, *refs):
         nd = len(dir_inputs)
@@ -219,7 +254,7 @@ def nerf_mlp_pallas(
             )  # [W/2, TN]
             h2 = jnp.maximum(feat_part + dir_term + b_v, 0.0)
         else:
-            dirp_t = dir_refs[0][:].T  # [RT, W/2] block -> [W/2, RT]
+            dirp_t = dir_refs[0][0].T  # [1, RT, W/2] block -> [W/2, RT]
             dir_term = jnp.dot(
                 dirp_t.astype(compute_dtype), seg_t,
                 preferred_element_type=jnp.float32,
@@ -239,7 +274,8 @@ def nerf_mlp_pallas(
     else:
         dir_specs = [
             pl.BlockSpec(
-                (rt, dir_part.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, rt, dir_part.shape[1]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ]
     all_weights = weights + extra_weights

@@ -229,6 +229,22 @@ def test_pick_bwd_tile_prefers_padding_over_budget_blowout():
     assert rt == 1 and (2000 + pad) % 128 == 0
 
 
+def test_pick_tile_tape_caps_double_buffered_block():
+    """The tape-emitting forwards must cap TN so the double-buffered
+    [tape_rows, TN] output block stays within ~4 MB per buffer (measured
+    on v5e: TN=1024 f32 tape_rows=2048 hit 16.04M/16.79M against the
+    16 MB scoped-VMEM limit — raymarch.py:265 / raymarch_vjp.py:595)."""
+    # f32, depth*W=2048: max_tn = 4MB / 8KB = 512 -> rt=4 at s=128
+    assert raymarch.pick_tile_tape(4096, 128, 8, 2048, 4) == 4
+    # bf16 halves the row bytes -> tn up to 1024 -> rt=8 again
+    assert raymarch.pick_tile_tape(4096, 128, 8, 2048, 2) == 8
+    # the exact failing v5e shapes must now map under the cap
+    assert raymarch.pick_tile_tape(4096, 128, 8, 2048, 4) * 128 <= 512
+    # no divisor-legal capped tile (one ray already exceeds the cap):
+    # caller must fall back to the tapeless path
+    assert raymarch.pick_tile_tape(8, 1024, 8, 2048, 4) is None
+
+
 @pytest.mark.parametrize("per_sample", [True, False])
 def test_tape_mode_matches_recompute(per_sample):
     """tape_mode="hbm" must be BIT-identical to "recompute": the tape
